@@ -1,0 +1,81 @@
+"""Shared building blocks: masked batch norm, conv blocks (NHWC, TPU layout)."""
+from __future__ import annotations
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+class MaskedBatchNorm(nn.Module):
+    """BatchNorm whose statistics exclude padded rows.
+
+    The reference's PFN uses nn.BatchNorm1d over all (padded) points
+    (pcdet vfe/pillar_vfe.py:20-28); padded rows are zeros there and bias the
+    statistics — here we mask them out exactly.  Under pjit with a
+    batch-sharded mesh the masked mean/var reductions are global (XLA inserts
+    the psum), so this is SyncBN for free.
+    """
+
+    momentum: float = 0.99  # reference BN momentum 0.01 torch == 0.99 flax
+    epsilon: float = 1e-3
+    use_running_average: bool | None = None
+
+    @nn.compact
+    def __call__(self, x, mask=None, use_running_average=None):
+        use_ra = nn.merge_param(
+            "use_running_average", self.use_running_average, use_running_average
+        )
+        features = x.shape[-1]
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((features,), jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((features,), jnp.float32)
+        )
+        scale = self.param("scale", nn.initializers.ones, (features,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (features,), jnp.float32)
+
+        if use_ra:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            xf = x.astype(jnp.float32)
+            if mask is None:
+                cnt = jnp.asarray(x.size // features, jnp.float32)
+                s = xf.reshape(-1, features).sum(0)
+                sq = (xf * xf).reshape(-1, features).sum(0)
+            else:
+                m = mask.astype(jnp.float32)[..., None]
+                cnt = jnp.clip(m.sum(), 1.0, None)
+                s = (xf * m).reshape(-1, features).sum(0)
+                sq = (xf * xf * m).reshape(-1, features).sum(0)
+            mean = s / cnt
+            var = jnp.clip(sq / cnt - mean * mean, 0.0, None)
+            if not self.is_initializing():
+                ra_mean.value = self.momentum * ra_mean.value + (1 - self.momentum) * mean
+                ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * var
+
+        y = (x.astype(jnp.float32) - mean) * jnp.reciprocal(jnp.sqrt(var + self.epsilon))
+        y = y * scale + bias
+        return y.astype(x.dtype)
+
+
+class ConvBNReLU(nn.Module):
+    """Conv2D(NHWC) + BN + ReLU, the reference's basic 2D block."""
+
+    features: int
+    kernel: int = 3
+    stride: int = 1
+    use_bias: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        x = nn.Conv(
+            self.features,
+            (self.kernel, self.kernel),
+            strides=(self.stride, self.stride),
+            padding="SAME",
+            use_bias=self.use_bias,
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train, momentum=0.99, epsilon=1e-3
+        )(x)
+        return nn.relu(x)

@@ -1,0 +1,151 @@
+"""Box geometry ops, usable with numpy (host pipeline) and jax.numpy (device).
+
+Covers the roles of pcdet/utils/box_utils.py and the points-in-boxes native
+kernels (pcdet/ops/roiaware_pool3d): corner extraction, point-in-rotated-box
+tests, box enlarging, and point carve-out for GT-paste augmentation.  All
+functions are branch-free and written against an array-namespace argument so
+one implementation serves the numpy host path and the jittable device path.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+try:
+    import jax.numpy as jnp
+except Exception:  # pragma: no cover
+    jnp = None
+
+
+def boxes_to_corners_bev(boxes, xp=np):
+    """(N, 7) [x y z dx dy dz heading] -> (N, 4, 2) BEV corners (ccw)."""
+    x, y = boxes[..., 0], boxes[..., 1]
+    dx, dy = boxes[..., 3], boxes[..., 4]
+    yaw = boxes[..., 6]
+    # corner template in box frame, counter-clockwise
+    tx = xp.stack([dx / 2, -dx / 2, -dx / 2, dx / 2], axis=-1)
+    ty = xp.stack([dy / 2, dy / 2, -dy / 2, -dy / 2], axis=-1)
+    cos, sin = xp.cos(yaw)[..., None], xp.sin(yaw)[..., None]
+    cx = tx * cos - ty * sin + x[..., None]
+    cy = tx * sin + ty * cos + y[..., None]
+    return xp.stack([cx, cy], axis=-1)
+
+
+def boxes_to_corners_3d(boxes, xp=np):
+    """(N, 7) -> (N, 8, 3) corners; z from center-z +/- dz/2."""
+    bev = boxes_to_corners_bev(boxes, xp=xp)  # (N, 4, 2)
+    z = boxes[..., 2]
+    dz = boxes[..., 5]
+    z_lo = (z - dz / 2)[..., None]
+    z_hi = (z + dz / 2)[..., None]
+    lo = xp.concatenate([bev, xp.broadcast_to(z_lo[..., None], bev.shape[:-1] + (1,))], axis=-1)
+    hi = xp.concatenate([bev, xp.broadcast_to(z_hi[..., None], bev.shape[:-1] + (1,))], axis=-1)
+    return xp.concatenate([lo, hi], axis=-2)
+
+
+def points_in_rbbox(points, boxes, xp=np, z_axis=True):
+    """(N, 3+) points x (M, 7) boxes -> (N, M) bool containment mask.
+
+    Replaces the roiaware_pool3d points_in_boxes kernels
+    (pcdet/ops/roiaware_pool3d/src/roiaware_pool3d_kernel.cu) with a
+    rotate-into-box-frame test that vectorizes on the VPU.
+    """
+    px = points[:, 0][:, None] - boxes[None, :, 0]
+    py = points[:, 1][:, None] - boxes[None, :, 1]
+    cos = xp.cos(-boxes[:, 6])[None, :]
+    sin = xp.sin(-boxes[:, 6])[None, :]
+    lx = px * cos - py * sin
+    ly = px * sin + py * cos
+    in_xy = (xp.abs(lx) <= boxes[None, :, 3] / 2) & (xp.abs(ly) <= boxes[None, :, 4] / 2)
+    if not z_axis:
+        return in_xy
+    pz = points[:, 2][:, None] - boxes[None, :, 2]
+    return in_xy & (xp.abs(pz) <= boxes[None, :, 5] / 2)
+
+
+def enlarge_box3d(boxes, extra_width=(0.0, 0.0, 0.0), xp=np):
+    """Grow dx/dy/dz by extra widths (box_utils.enlarge_box3d parity)."""
+    out = xp.concatenate(
+        [
+            boxes[:, :3],
+            boxes[:, 3:6] + xp.asarray(extra_width, dtype=boxes.dtype)[None, :],
+            boxes[:, 6:],
+        ],
+        axis=1,
+    )
+    return out
+
+
+def remove_points_in_boxes3d(points: np.ndarray, boxes: np.ndarray) -> np.ndarray:
+    """Host-side carve-out used by GT-paste (box_utils.remove_points_in_boxes3d)."""
+    if len(boxes) == 0 or len(points) == 0:
+        return points
+    mask = points_in_rbbox(points[:, :3], boxes[:, :7], xp=np).any(axis=1)
+    return points[~mask]
+
+
+def mask_boxes_outside_range(boxes, limit_range, min_num_corners=1, xp=np):
+    """Keep boxes with >= min_num_corners BEV corners inside the range."""
+    corners = boxes_to_corners_bev(boxes[:, :7], xp=xp)  # (N, 4, 2)
+    lo = xp.asarray(limit_range[:2])
+    hi = xp.asarray(limit_range[3:5])
+    inside = ((corners >= lo) & (corners <= hi)).all(axis=-1)  # (N, 4)
+    return inside.sum(axis=-1) >= min_num_corners
+
+
+class ResidualCoder:
+    """SECOND-style 7(+C)-dim anchor box coder (pcdet box_coder_utils.ResidualCoder).
+
+    Works with either numpy or jnp arrays (pass xp).
+    """
+
+    def __init__(self, code_size=7, encode_angle_by_sincos=False):
+        self.code_size = code_size + (1 if encode_angle_by_sincos else 0)
+        self.encode_angle_by_sincos = encode_angle_by_sincos
+
+    def encode(self, boxes, anchors, xp=np):
+        xa, ya, za, dxa, dya, dza, ra = [anchors[..., i] for i in range(7)]
+        xg, yg, zg, dxg, dyg, dzg, rg = [boxes[..., i] for i in range(7)]
+        dxa = xp.clip(dxa, 1e-5, None)
+        dya = xp.clip(dya, 1e-5, None)
+        dza = xp.clip(dza, 1e-5, None)
+        dxg = xp.clip(dxg, 1e-5, None)
+        dyg = xp.clip(dyg, 1e-5, None)
+        dzg = xp.clip(dzg, 1e-5, None)
+        diag = xp.sqrt(dxa**2 + dya**2)
+        xt = (xg - xa) / diag
+        yt = (yg - ya) / diag
+        zt = (zg - za) / dza
+        dxt = xp.log(dxg / dxa)
+        dyt = xp.log(dyg / dya)
+        dzt = xp.log(dzg / dza)
+        if self.encode_angle_by_sincos:
+            rts = [xp.cos(rg) - xp.cos(ra), xp.sin(rg) - xp.sin(ra)]
+        else:
+            rts = [rg - ra]
+        extra = [boxes[..., i] - anchors[..., i] for i in range(7, boxes.shape[-1])]
+        return xp.stack([xt, yt, zt, dxt, dyt, dzt, *rts, *extra], axis=-1)
+
+    def decode(self, encodings, anchors, xp=np):
+        xa, ya, za, dxa, dya, dza, ra = [anchors[..., i] for i in range(7)]
+        if self.encode_angle_by_sincos:
+            xt, yt, zt, dxt, dyt, dzt, cost, sint = [
+                encodings[..., i] for i in range(8)
+            ]
+        else:
+            xt, yt, zt, dxt, dyt, dzt, rt = [encodings[..., i] for i in range(7)]
+        diag = xp.sqrt(dxa**2 + dya**2)
+        xg = xt * diag + xa
+        yg = yt * diag + ya
+        zg = zt * dza + za
+        dxg = xp.exp(dxt) * dxa
+        dyg = xp.exp(dyt) * dya
+        dzg = xp.exp(dzt) * dza
+        if self.encode_angle_by_sincos:
+            rg = xp.arctan2(sint + xp.sin(ra), cost + xp.cos(ra))
+        else:
+            rg = rt + ra
+        n_extra = encodings.shape[-1] - (8 if self.encode_angle_by_sincos else 7)
+        extra = [
+            encodings[..., -(n_extra - i)] + anchors[..., 7 + i] for i in range(n_extra)
+        ]
+        return xp.stack([xg, yg, zg, dxg, dyg, dzg, rg, *extra], axis=-1)

@@ -1,0 +1,164 @@
+"""Gaussian heatmap stamping — vectorized, static-shape, jittable.
+
+TPU-native replacement for the reference's per-object Python loops
+(pcdet/models/model_utils/centernet_utils.py:46-131 — ``gaussian_radius``,
+``draw_gaussian_to_heatmap``, ``draw_mask_to_heatmap``).  The reference stamps
+one object at a time on the host; here every object stamps a fixed
+(2*MAX_RADIUS+1)^2 window and a single scatter-max builds the whole heatmap on
+device.  Values for all integer radii are precomputed into a constant lookup
+table, so the per-object work is one gather + one scatter.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Gaussian radii are integers >= MIN_RADIUS (cfg) and are clipped to
+# MAX_STAMP_RADIUS; at Waymo pillar resolution (0.32 m) typical vehicle radii
+# are <= 10 px, so 24 covers even oversized boxes.
+MAX_STAMP_RADIUS = 24
+
+
+def gaussian_radius(height, width, min_overlap=0.5):
+    """CornerNet gaussian radius from box height/width on the feature map.
+
+    Same closed-form three-case minimum as the reference
+    (centernet_utils.py:46-72).  Inputs in feature-map pixels.
+    """
+    a1 = 1.0
+    b1 = height + width
+    c1 = width * height * (1 - min_overlap) / (1 + min_overlap)
+    sq1 = jnp.sqrt(jnp.maximum(b1**2 - 4 * a1 * c1, 0.0))
+    r1 = (b1 + sq1) / 2
+
+    a2 = 4.0
+    b2 = 2 * (height + width)
+    c2 = (1 - min_overlap) * width * height
+    sq2 = jnp.sqrt(jnp.maximum(b2**2 - 4 * a2 * c2, 0.0))
+    # NB: the reference divides cases 2/3 by 2 (not 2a) — CornerNet's original
+    # quirk, kept verbatim for target parity (centernet_utils.py:60-72).
+    r2 = (b2 + sq2) / 2
+
+    a3 = 4.0 * min_overlap
+    b3 = -2 * min_overlap * (height + width)
+    c3 = (min_overlap - 1) * width * height
+    sq3 = jnp.sqrt(jnp.maximum(b3**2 - 4 * a3 * c3, 0.0))
+    r3 = (b3 + sq3) / 2
+    return jnp.minimum(jnp.minimum(r1, r2), r3)
+
+
+@functools.lru_cache(maxsize=4)
+def _gaussian_table(max_radius: int) -> np.ndarray:
+    """(max_radius+1, K, K) table of gaussian windows, K = 2*max_radius+1.
+
+    table[r, dy+R, dx+R] = exp(-(dx^2+dy^2) / (2*sigma^2)), sigma=(2r+1)/6,
+    zeroed outside the (2r+1)^2 window — the same values the reference's
+    gaussian2D produces per object (centernet_utils.py:76-82).
+    """
+    R = max_radius
+    K = 2 * R + 1
+    coords = np.arange(-R, R + 1, dtype=np.float64)
+    dy = coords[:, None]
+    dx = coords[None, :]
+    table = np.zeros((R + 1, K, K), dtype=np.float32)
+    for r in range(R + 1):
+        sigma = (2 * r + 1) / 6.0
+        g = np.exp(-(dx * dx + dy * dy) / (2 * sigma * sigma))
+        outside = (np.abs(dy) > r) | (np.abs(dx) > r)
+        g = np.where(outside, 0.0, g)
+        table[r] = g.astype(np.float32)
+    return table
+
+
+def _window_indices(centers_int, class_ids, num_classes, fmap_h, fmap_w, max_radius):
+    """Flat scatter indices for every object's stamp window.
+
+    Returns (idx (N,K,K) int32 into a (C*H*W + 1) flat canvas, inbounds (N,K,K)
+    bool).  Out-of-bounds cells are routed to the trailing trash slot.
+    """
+    R = max_radius
+    K = 2 * R + 1
+    offs = jnp.arange(-R, R + 1, dtype=jnp.int32)
+    ys = centers_int[:, 1][:, None, None] + offs[None, :, None]  # (N,K,1)
+    xs = centers_int[:, 0][:, None, None] + offs[None, None, :]  # (N,1,K)
+    ys = jnp.broadcast_to(ys, (centers_int.shape[0], K, K))
+    xs = jnp.broadcast_to(xs, (centers_int.shape[0], K, K))
+    inb = (ys >= 0) & (ys < fmap_h) & (xs >= 0) & (xs < fmap_w)
+    flat = (
+        class_ids[:, None, None].astype(jnp.int32) * (fmap_h * fmap_w)
+        + ys * fmap_w
+        + xs
+    )
+    trash = num_classes * fmap_h * fmap_w
+    return jnp.where(inb, flat, trash), inb
+
+
+def draw_gaussians(
+    centers_int: jax.Array,  # (N, 2) int32 [x, y] feature-map cells
+    radii: jax.Array,  # (N,) int32 gaussian radii
+    class_ids: jax.Array,  # (N,) int32 in [0, num_classes)
+    valid: jax.Array,  # (N,) bool
+    num_classes: int,
+    fmap_h: int,
+    fmap_w: int,
+    max_radius: int = MAX_STAMP_RADIUS,
+) -> jax.Array:
+    """Build a (num_classes, H, W) heatmap = max over objects of gaussians.
+
+    Vectorized equivalent of looping draw_gaussian_to_heatmap over objects
+    (the reference's CPU detour at curriculum_center_head.py:179).
+    """
+    radii = jnp.clip(radii, 0, max_radius)
+    table = jnp.asarray(_gaussian_table(max_radius))
+    vals = table[radii]  # (N, K, K)
+    vals = vals * valid[:, None, None].astype(vals.dtype)
+    idx, _ = _window_indices(
+        centers_int, class_ids, num_classes, fmap_h, fmap_w, max_radius
+    )
+    canvas = jnp.zeros((num_classes * fmap_h * fmap_w + 1,), dtype=vals.dtype)
+    canvas = canvas.at[idx.reshape(-1)].max(vals.reshape(-1))
+    return canvas[:-1].reshape(num_classes, fmap_h, fmap_w)
+
+
+def stamp_squares_last_wins(
+    base: jax.Array,  # (C, H, W) starting canvas (ones for the COM mask)
+    centers_int: jax.Array,  # (N, 2) int32 [x, y]
+    radii: jax.Array,  # (N,) int32 half-width of the square patch
+    class_ids: jax.Array,  # (N,) int32
+    values: jax.Array,  # (N,) float — constant patch value per object
+    valid: jax.Array,  # (N,) bool
+    max_radius: int = MAX_STAMP_RADIUS,
+) -> jax.Array:
+    """Stamp constant-value square patches; later objects overwrite earlier.
+
+    Matches draw_mask_to_heatmap semantics (centernet_utils.py:109-131): the
+    whole (2r+1)^2 *square* (not a disk) is overwritten with value ``k``, and
+    the reference's sequential loop makes the highest object index win on
+    overlap.  We reproduce that deterministically with two scatters: scatter-max
+    of (object index + 1) to find the winner per cell, then gather its value.
+    """
+    num_classes, fmap_h, fmap_w = base.shape
+    n = centers_int.shape[0]
+    radii = jnp.clip(radii, 0, max_radius)
+    R = max_radius
+    K = 2 * R + 1
+    offs = jnp.abs(jnp.arange(-R, R + 1, dtype=jnp.int32))
+    in_patch = (offs[None, :, None] <= radii[:, None, None]) & (
+        offs[None, None, :] <= radii[:, None, None]
+    )  # (N, K, K)
+    in_patch = in_patch & valid[:, None, None]
+    idx, _ = _window_indices(
+        centers_int, class_ids, num_classes, fmap_h, fmap_w, max_radius
+    )
+    idx = jnp.where(in_patch, idx, num_classes * fmap_h * fmap_w)
+    obj_rank = jnp.broadcast_to(
+        jnp.arange(1, n + 1, dtype=jnp.int32)[:, None, None], (n, K, K)
+    )
+    winner = jnp.zeros((num_classes * fmap_h * fmap_w + 1,), dtype=jnp.int32)
+    winner = winner.at[idx.reshape(-1)].max(obj_rank.reshape(-1))
+    winner = winner[:-1].reshape(base.shape)
+    padded_vals = jnp.concatenate([jnp.ones((1,), values.dtype), values])
+    return jnp.where(winner > 0, padded_vals[winner], base)

@@ -1,0 +1,149 @@
+"""Rotated BEV IoU — branch-free, vectorized, one implementation for np & jnp.
+
+Replaces the iou3d_nms CUDA extension (pcdet/ops/iou3d_nms/src/
+iou3d_nms_kernel.cu — rotated-box intersection via polygon clipping).  Instead
+of the sequential Sutherland-Hodgman clip, we use a fully data-parallel
+formulation that suits the TPU VPU (and vectorized numpy on the host):
+
+1. candidate intersection vertices = 16 edge-pair crossings + 4 corners of A
+   inside B + 4 corners of B inside A (24 candidates, masked);
+2. sort candidates by angle around their masked centroid;
+3. shoelace area over the masked, sorted polygon.
+
+The same code runs under numpy (GT-Aug collision test on the host,
+database_sampler_v2.py:600-604 parity) and jax.numpy inside jit (NMS, recall,
+RoI matching).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from .boxes import boxes_to_corners_bev
+
+
+def _pairwise_intersection_area(corners_a, corners_b, xp):
+    """(N,4,2) x (M,4,2) -> (N,M) convex intersection areas."""
+    n, m = corners_a.shape[0], corners_b.shape[0]
+    A = corners_a[:, None]  # (N,1,4,2)
+    B = corners_b[None, :]  # (1,M,4,2)
+
+    # --- 1a. edge-edge crossings: edges a_i->a_{i+1} vs b_j->b_{j+1}
+    a1 = A  # (N,1,4,2)
+    a2 = xp.roll(corners_a, -1, axis=1)[:, None]
+    b1 = B
+    b2 = xp.roll(corners_b, -1, axis=1)[None, :]
+    # broadcast to (N,M,4,4,2): a-edge index axis=2, b-edge index axis=3
+    p = a1[:, :, :, None, :]
+    r = (a2 - a1)[:, :, :, None, :]
+    q = b1[:, :, None, :, :]
+    s = (b2 - b1)[:, :, None, :, :]
+    rxs = r[..., 0] * s[..., 1] - r[..., 1] * s[..., 0]  # (N,M,4,4)
+    qmp = q - p
+    t_num = qmp[..., 0] * s[..., 1] - qmp[..., 1] * s[..., 0]
+    u_num = qmp[..., 0] * r[..., 1] - qmp[..., 1] * r[..., 0]
+    denom = xp.where(xp.abs(rxs) < 1e-10, 1e-10, rxs)
+    t = t_num / denom
+    u = u_num / denom
+    cross_ok = (xp.abs(rxs) > 1e-10) & (t >= 0) & (t <= 1) & (u >= 0) & (u <= 1)
+    cross_pt = p + t[..., None] * r  # (N,M,4,4,2)
+    cross_pt = cross_pt.reshape(n, m, 16, 2)
+    cross_ok = cross_ok.reshape(n, m, 16)
+
+    # --- 1b. corners of A inside B and corners of B inside A (half-plane test)
+    def _inside(pts, poly_c1, poly_c2):
+        # pts (N,M,4,2); poly edges c1->c2 (N,M,4,2); convex ccw or cw —
+        # a point is inside iff all edge cross products share a sign.
+        d = poly_c2 - poly_c1  # (N,M,4,2)
+        # (N,M,P,E): point P vs edge E
+        rel = pts[:, :, :, None, :] - poly_c1[:, :, None, :, :]
+        crs = d[:, :, None, :, 0] * rel[..., 1] - d[:, :, None, :, 1] * rel[..., 0]
+        return (crs >= -1e-8).all(axis=-1) | (crs <= 1e-8).all(axis=-1)
+
+    a_pts = xp.broadcast_to(A, (n, m, 4, 2))
+    b_pts = xp.broadcast_to(B, (n, m, 4, 2))
+    b_e1 = xp.broadcast_to(b1, (n, m, 4, 2))
+    b_e2 = xp.broadcast_to(b2, (n, m, 4, 2))
+    a_e1 = xp.broadcast_to(a1, (n, m, 4, 2))
+    a_e2 = xp.broadcast_to(xp.roll(corners_a, -1, axis=1)[:, None], (n, m, 4, 2))
+    a_in_b = _inside(a_pts, b_e1, b_e2)  # (N,M,4)
+    b_in_a = _inside(b_pts, a_e1, a_e2)
+
+    pts = xp.concatenate([cross_pt, a_pts, b_pts], axis=2)  # (N,M,24,2)
+    ok = xp.concatenate([cross_ok, a_in_b, b_in_a], axis=2)  # (N,M,24)
+
+    # --- 2. angular sort around masked centroid
+    cnt = ok.sum(axis=-1)  # (N,M)
+    okf = ok[..., None].astype(pts.dtype)
+    centroid = (pts * okf).sum(axis=2) / xp.clip(cnt, 1, None)[..., None]
+    ang = xp.arctan2(
+        pts[..., 1] - centroid[..., None, 1], pts[..., 0] - centroid[..., None, 0]
+    )
+    ang = xp.where(ok, ang, 1e4)  # invalid points sort last
+    order = xp.argsort(ang, axis=-1)
+    sorted_pts = xp.take_along_axis(pts, order[..., None], axis=2)
+    sorted_ok = xp.take_along_axis(ok, order, axis=2)
+
+    # --- 3. masked shoelace: close the polygon over the first cnt points.
+    # next valid index = (i+1) mod cnt; emulate by replacing the successor of
+    # the last valid vertex with vertex 0.
+    idx = xp.arange(sorted_pts.shape[2])
+    nxt = xp.where(
+        (idx[None, None, :] + 1) < cnt[..., None], idx[None, None, :] + 1, 0
+    )
+    nxt_pts = xp.take_along_axis(sorted_pts, nxt[..., None], axis=2)
+    crossz = (
+        sorted_pts[..., 0] * nxt_pts[..., 1] - sorted_pts[..., 1] * nxt_pts[..., 0]
+    )
+    crossz = xp.where(sorted_ok, crossz, 0.0)
+    area = 0.5 * xp.abs(crossz.sum(axis=-1))
+    return xp.where(cnt >= 3, area, 0.0)
+
+
+def boxes_iou_bev(boxes_a, boxes_b, xp=np):
+    """Rotated BEV IoU (N,7)x(M,7) -> (N,M); parity with boxes_bev_iou_cpu."""
+    ca = boxes_to_corners_bev(boxes_a[:, :7], xp=xp)
+    cb = boxes_to_corners_bev(boxes_b[:, :7], xp=xp)
+    inter = _pairwise_intersection_area(ca, cb, xp)
+    area_a = (boxes_a[:, 3] * boxes_a[:, 4])[:, None]
+    area_b = (boxes_b[:, 3] * boxes_b[:, 4])[None, :]
+    return inter / xp.clip(area_a + area_b - inter, 1e-6, None)
+
+
+def boxes_overlap_bev(boxes_a, boxes_b, xp=np):
+    """Raw BEV intersection areas (boxes_overlap_bev_gpu parity)."""
+    ca = boxes_to_corners_bev(boxes_a[:, :7], xp=xp)
+    cb = boxes_to_corners_bev(boxes_b[:, :7], xp=xp)
+    return _pairwise_intersection_area(ca, cb, xp)
+
+
+def boxes_iou3d(boxes_a, boxes_b, xp=np):
+    """Rotated 3D IoU: BEV intersection x z-overlap (iou3d_nms_utils parity)."""
+    inter_bev = boxes_overlap_bev(boxes_a, boxes_b, xp=xp)
+    za1 = boxes_a[:, 2] - boxes_a[:, 5] / 2
+    za2 = boxes_a[:, 2] + boxes_a[:, 5] / 2
+    zb1 = boxes_b[:, 2] - boxes_b[:, 5] / 2
+    zb2 = boxes_b[:, 2] + boxes_b[:, 5] / 2
+    z_overlap = xp.clip(
+        xp.minimum(za2[:, None], zb2[None, :]) - xp.maximum(za1[:, None], zb1[None, :]),
+        0.0,
+        None,
+    )
+    inter = inter_bev * z_overlap
+    vol_a = (boxes_a[:, 3] * boxes_a[:, 4] * boxes_a[:, 5])[:, None]
+    vol_b = (boxes_b[:, 3] * boxes_b[:, 4] * boxes_b[:, 5])[None, :]
+    return inter / xp.clip(vol_a + vol_b - inter, 1e-6, None)
+
+
+def boxes_iou_aligned_bev(boxes_a, boxes_b, xp=np):
+    """Axis-aligned BEV IoU (ignores heading) — box_utils.boxes3d_nearest_bev_iou."""
+    half_a = boxes_a[:, 3:5] / 2
+    half_b = boxes_b[:, 3:5] / 2
+    a_min, a_max = boxes_a[:, 0:2] - half_a, boxes_a[:, 0:2] + half_a
+    b_min, b_max = boxes_b[:, 0:2] - half_b, boxes_b[:, 0:2] + half_b
+    lt = xp.maximum(a_min[:, None], b_min[None, :])
+    rb = xp.minimum(a_max[:, None], b_max[None, :])
+    wh = xp.clip(rb - lt, 0.0, None)
+    inter = wh[..., 0] * wh[..., 1]
+    area_a = (boxes_a[:, 3] * boxes_a[:, 4])[:, None]
+    area_b = (boxes_b[:, 3] * boxes_b[:, 4])[None, :]
+    return inter / xp.clip(area_a + area_b - inter, 1e-6, None)

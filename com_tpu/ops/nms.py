@@ -1,0 +1,95 @@
+"""Jittable NMS: exact rotated-BEV NMS and circle-NMS, static shapes.
+
+Replaces nms_gpu / nms_normal_gpu (pcdet/ops/iou3d_nms/src/iou3d_nms_api.cpp)
+and the numba circle_nms (centernet_utils.py:143-167).  The pairwise IoU /
+distance matrix is built in one vectorized shot (VPU-friendly), then a
+lax.fori_loop runs the inherently-sequential greedy suppression over the
+score-sorted candidates.  Inputs/outputs are fixed size with validity masks —
+no dynamic shapes anywhere.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .iou import boxes_iou_bev, boxes_iou_aligned_bev
+
+
+def _greedy_suppress(pair_matrix: jax.Array, thresh: float, valid: jax.Array):
+    """Greedy NMS over score-sorted candidates.
+
+    pair_matrix[i, j] = affinity between candidates i and j (IoU or -dist);
+    candidates are already sorted by descending score.  Returns keep mask.
+    """
+    k = pair_matrix.shape[0]
+    over = pair_matrix > thresh
+
+    def body(i, state):
+        suppressed, keep = state
+        alive = jnp.logical_not(suppressed[i]) & valid[i]
+        keep = keep.at[i].set(alive)
+        later = jnp.arange(k) > i
+        suppressed = suppressed | (alive & later & over[i])
+        return suppressed, keep
+
+    suppressed0 = jnp.logical_not(valid)
+    keep0 = jnp.zeros((k,), dtype=bool)
+    _, keep = jax.lax.fori_loop(0, k, body, (suppressed0, keep0))
+    return keep
+
+
+def nms_bev(
+    boxes: jax.Array,  # (K, 7)
+    scores: jax.Array,  # (K,)
+    valid: jax.Array,  # (K,) bool
+    thresh: float,
+    post_max_size: int,
+    use_rotated_iou: bool = True,
+):
+    """Rotated-BEV NMS.  Returns (selected_idx (post_max,), sel_valid (post_max,)).
+
+    Matches nms_gpu semantics: sort by score, suppress by BEV IoU > thresh.
+    """
+    k = boxes.shape[0]
+    neg_inf = jnp.asarray(-jnp.inf, scores.dtype)
+    order = jnp.argsort(jnp.where(valid, scores, neg_inf))[::-1]
+    sb = boxes[order]
+    sv = valid[order]
+    if use_rotated_iou:
+        iou = boxes_iou_bev(sb, sb, xp=jnp)
+    else:
+        iou = boxes_iou_aligned_bev(sb, sb, xp=jnp)
+    keep = _greedy_suppress(iou, thresh, sv)
+    # stable-select kept candidates in score order, pad to post_max_size
+    kept_rank = jnp.where(keep, jnp.cumsum(keep) - 1, k)
+    slots = jnp.full((post_max_size,), k, dtype=jnp.int32)
+    slots = slots.at[kept_rank].set(jnp.arange(k, dtype=jnp.int32), mode="drop")
+    # slots[r] = sorted-index of r-th kept box (k = empty)
+    sel_valid = slots < k
+    safe = jnp.clip(slots, 0, k - 1)
+    selected = order[safe]
+    return selected, sel_valid & (jnp.arange(post_max_size) < keep.sum())
+
+
+def circle_nms(
+    centers_xy: jax.Array,  # (K, 2)
+    scores: jax.Array,  # (K,)
+    valid: jax.Array,  # (K,) bool
+    dist_thresh: float,
+    post_max_size: int,
+):
+    """Center-distance NMS (circle_nms parity: suppress if dist^2 <= thresh)."""
+    k = centers_xy.shape[0]
+    neg_inf = jnp.asarray(-jnp.inf, scores.dtype)
+    order = jnp.argsort(jnp.where(valid, scores, neg_inf))[::-1]
+    sc = centers_xy[order]
+    sv = valid[order]
+    d2 = ((sc[:, None, :] - sc[None, :, :]) ** 2).sum(-1)
+    keep = _greedy_suppress(-d2, -float(dist_thresh) - 1e-12, sv)
+    kept_rank = jnp.where(keep, jnp.cumsum(keep) - 1, k)
+    slots = jnp.full((post_max_size,), k, dtype=jnp.int32)
+    slots = slots.at[kept_rank].set(jnp.arange(k, dtype=jnp.int32), mode="drop")
+    sel_valid = slots < k
+    safe = jnp.clip(slots, 0, k - 1)
+    selected = order[safe]
+    return selected, sel_valid & (jnp.arange(post_max_size) < keep.sum())

@@ -1,0 +1,117 @@
+"""Rotated IoU: exact cases + rasterized Monte-Carlo oracle; NMS semantics."""
+import numpy as np
+import jax.numpy as jnp
+
+from com_tpu.ops import iou as iou_ops
+from com_tpu.ops import nms as nms_ops
+from com_tpu.ops.boxes import points_in_rbbox
+
+
+def raster_iou(box_a, box_b, res=0.02):
+    """Brute-force IoU by rasterizing a bounding window."""
+    boxes = np.stack([box_a, box_b])
+    lo = boxes[:, :2].min(0) - boxes[:, 3:5].max() - 1
+    hi = boxes[:, :2].max(0) + boxes[:, 3:5].max() + 1
+    xs = np.arange(lo[0], hi[0], res)
+    ys = np.arange(lo[1], hi[1], res)
+    gx, gy = np.meshgrid(xs, ys)
+    pts = np.stack([gx.ravel(), gy.ravel(), np.zeros(gx.size)], axis=1)
+    m = points_in_rbbox(pts, boxes, xp=np, z_axis=False)
+    inter = (m[:, 0] & m[:, 1]).sum()
+    union = (m[:, 0] | m[:, 1]).sum()
+    return inter / max(union, 1)
+
+
+def test_identical_and_disjoint():
+    a = np.array([[0, 0, 0, 4, 2, 1.5, 0.3]], np.float32)
+    b = np.array([[50, 50, 0, 4, 2, 1.5, 1.0]], np.float32)
+    iou = iou_ops.boxes_iou_bev(a, a, xp=np)
+    assert np.isclose(iou[0, 0], 1.0, atol=1e-4)
+    assert np.isclose(iou_ops.boxes_iou_bev(a, b, xp=np)[0, 0], 0.0, atol=1e-6)
+
+
+def test_axis_aligned_matches_aligned_formula():
+    rng = np.random.RandomState(3)
+    a = np.concatenate(
+        [rng.uniform(-5, 5, (8, 2)), np.zeros((8, 1)), rng.uniform(1, 4, (8, 3)), np.zeros((8, 1))],
+        axis=1,
+    ).astype(np.float32)
+    b = np.concatenate(
+        [rng.uniform(-5, 5, (6, 2)), np.zeros((6, 1)), rng.uniform(1, 4, (6, 3)), np.zeros((6, 1))],
+        axis=1,
+    ).astype(np.float32)
+    rot = iou_ops.boxes_iou_bev(a, b, xp=np)
+    ali = iou_ops.boxes_iou_aligned_bev(a, b, xp=np)
+    np.testing.assert_allclose(rot, ali, atol=2e-3)
+
+
+def test_rotated_vs_raster_oracle():
+    rng = np.random.RandomState(7)
+    for _ in range(12):
+        a = np.array(
+            [rng.uniform(-2, 2), rng.uniform(-2, 2), 0, rng.uniform(2, 5),
+             rng.uniform(1, 3), 1.5, rng.uniform(-np.pi, np.pi)], np.float32)
+        b = np.array(
+            [rng.uniform(-2, 2), rng.uniform(-2, 2), 0, rng.uniform(2, 5),
+             rng.uniform(1, 3), 1.5, rng.uniform(-np.pi, np.pi)], np.float32)
+        got = iou_ops.boxes_iou_bev(a[None], b[None], xp=np)[0, 0]
+        want = raster_iou(a, b)
+        assert abs(got - want) < 0.02, (got, want)
+
+
+def test_np_jnp_agree():
+    rng = np.random.RandomState(11)
+    a = np.concatenate(
+        [rng.uniform(-10, 10, (16, 3)), rng.uniform(1, 5, (16, 3)),
+         rng.uniform(-np.pi, np.pi, (16, 1))], axis=1).astype(np.float32)
+    got_np = iou_ops.boxes_iou_bev(a, a, xp=np)
+    got_jnp = np.asarray(iou_ops.boxes_iou_bev(jnp.asarray(a), jnp.asarray(a), xp=jnp))
+    np.testing.assert_allclose(got_np, got_jnp, atol=1e-3)
+
+
+def test_nms_bev_suppresses_overlaps():
+    boxes = jnp.asarray(
+        np.array(
+            [
+                [0, 0, 0, 4, 2, 1.5, 0.0],
+                [0.1, 0.0, 0, 4, 2, 1.5, 0.0],  # heavy overlap with #0
+                [10, 10, 0, 4, 2, 1.5, 0.5],
+                [30, 30, 0, 4, 2, 1.5, 0.0],
+            ],
+            np.float32,
+        )
+    )
+    scores = jnp.asarray([0.9, 0.95, 0.5, 0.2])
+    valid = jnp.asarray([True, True, True, False])
+    sel, sel_valid = nms_ops.nms_bev(boxes, scores, valid, thresh=0.5, post_max_size=4)
+    sel = np.asarray(sel)[np.asarray(sel_valid)]
+    assert list(sel) == [1, 2]  # box 0 suppressed by 1; box 3 invalid
+
+
+def test_circle_nms_matches_reference_loop():
+    rng = np.random.RandomState(5)
+    n = 50
+    centers = rng.uniform(0, 20, (n, 2)).astype(np.float32)
+    scores = rng.rand(n).astype(np.float32)
+    thresh = 4.0
+
+    # reference numba loop, in numpy (centernet_utils.py:143-167)
+    order = scores.argsort()[::-1]
+    suppressed = np.zeros(n, bool)
+    keep_ref = []
+    for _i in range(n):
+        i = order[_i]
+        if suppressed[i]:
+            continue
+        keep_ref.append(i)
+        for _j in range(_i + 1, n):
+            j = order[_j]
+            d = ((centers[i] - centers[j]) ** 2).sum()
+            if d <= thresh:
+                suppressed[j] = True
+
+    sel, sel_valid = nms_ops.circle_nms(
+        jnp.asarray(centers), jnp.asarray(scores), jnp.ones(n, bool), thresh, n
+    )
+    got = list(np.asarray(sel)[np.asarray(sel_valid)])
+    assert got == keep_ref
