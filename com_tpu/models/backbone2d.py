@@ -1,0 +1,75 @@
+"""BEV 2D backbone (pcdet/models/backbones_2d/base_bev_backbone.py:6-112 parity).
+
+N stride blocks of (Conv+BN+ReLU) x layer_nums, transpose-conv lateral
+upsampling, channel concat.  NHWC throughout; convs hit the MXU directly.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..utils.registry import BACKBONES_2D
+from .layers import ConvBNReLU
+
+
+@BACKBONES_2D.register
+class BaseBEVBackbone(nn.Module):
+    model_cfg: dict
+    input_channels: int
+
+    @nn.compact
+    def __call__(self, batch, train: bool = True):
+        cfg = self.model_cfg
+        layer_nums = list(cfg.get("LAYER_NUMS", []))
+        strides = list(cfg.get("LAYER_STRIDES", []))
+        filters = list(cfg.get("NUM_FILTERS", []))
+        up_strides = list(cfg.get("UPSAMPLE_STRIDES", []))
+        up_filters = list(cfg.get("NUM_UPSAMPLE_FILTERS", []))
+
+        x = batch["spatial_features"]
+        ups = []
+        for i, (ln, st, nf) in enumerate(zip(layer_nums, strides, filters)):
+            x = ConvBNReLU(nf, kernel=3, stride=st)(x, train)
+            for _ in range(ln):
+                x = ConvBNReLU(nf, kernel=3, stride=1)(x, train)
+            if i < len(up_strides):
+                us = up_strides[i]
+                if us > 1:
+                    u = nn.ConvTranspose(
+                        up_filters[i], (us, us), strides=(us, us), use_bias=False
+                    )(x)
+                elif us == 1:
+                    u = nn.Conv(up_filters[i], (1, 1), use_bias=False)(x)
+                else:  # us < 1 encoded as stride 1/|us| downsample conv
+                    ds = int(round(1 / us))
+                    u = nn.Conv(
+                        up_filters[i], (ds, ds), strides=(ds, ds), use_bias=False
+                    )(x)
+                u = nn.BatchNorm(use_running_average=not train, momentum=0.99, epsilon=1e-3)(u)
+                u = nn.relu(u)
+                ups.append(u)
+        if len(ups) > 1:
+            x = jnp.concatenate(ups, axis=-1)
+        elif len(ups) == 1:
+            x = ups[0]
+        # optional extra deconv on the concat (reference supports
+        # len(UPSAMPLE_STRIDES) > len(LAYER_NUMS))
+        if len(up_strides) > len(layer_nums):
+            us = up_strides[-1]
+            x = nn.ConvTranspose(up_filters[-1], (us, us), strides=(us, us), use_bias=False)(x)
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.99, epsilon=1e-3)(x)
+            x = nn.relu(x)
+        batch["spatial_features_2d"] = x
+        return batch
+
+
+@BACKBONES_2D.register
+class BaseBEVBackboneV1(nn.Module):
+    """Variant without initial stride blocks (reference base_bev_backbone V1)."""
+
+    model_cfg: dict
+    input_channels: int
+
+    @nn.compact
+    def __call__(self, batch, train: bool = True):
+        return BaseBEVBackbone(self.model_cfg, self.input_channels)(batch, train)

@@ -1,0 +1,173 @@
+"""CenterHead (+ curriculum variants) — flax module and box decoding.
+
+Functional split of the reference's CenterHead/CurriculumCenterHead
+(pcdet center_head.py:48-369, curriculum_center_head.py:48-511): the flax
+module computes predictions only; target assignment lives in
+target_assign.py and losses in com_tpu/losses — all pure functions inside the
+jitted step, with curriculum statistics carried in explicit state instead of
+module attributes.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ...ops.nms import circle_nms, nms_bev
+from ...utils.registry import DENSE_HEADS
+from ..layers import ConvBNReLU
+
+
+class SeparateHead(nn.Module):
+    """Per-group branch stack: for each target name, (num_conv-1) ConvBNReLU +
+    final 3x3 conv with bias (curriculum_center_head.py:11-45)."""
+
+    sep_head_dict: dict
+    init_bias: float = -2.19
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        out = {}
+        for name, spec in self.sep_head_dict.items():
+            h = x
+            for _ in range(spec["num_conv"] - 1):
+                h = ConvBNReLU(x.shape[-1], kernel=3, name=f"{name}_conv{_}")(h, train)
+            bias_init = (
+                nn.initializers.constant(self.init_bias)
+                if name == "hm"
+                else nn.initializers.zeros
+            )
+            h = nn.Conv(
+                spec["out_channels"],
+                (3, 3),
+                padding="SAME",
+                use_bias=True,
+                bias_init=bias_init,
+                name=f"{name}_out",
+            )(h)
+            out[name] = h
+        return out
+
+
+@DENSE_HEADS.register
+class CenterHead(nn.Module):
+    """Shared conv + one SeparateHead per class group.  Returns pred dicts."""
+
+    model_cfg: dict
+    input_channels: int
+    num_class: int
+    class_names: tuple
+
+    def head_class_groups(self):
+        """[(head_idx, [global 1-based class ids])] from CLASS_NAMES_EACH_HEAD."""
+        groups = []
+        for names in self.model_cfg["CLASS_NAMES_EACH_HEAD"]:
+            ids = [self.class_names.index(n) + 1 for n in names if n in self.class_names]
+            groups.append(tuple(ids))
+        return groups
+
+    @nn.compact
+    def __call__(self, batch, train: bool = True):
+        x = batch["spatial_features_2d"]
+        x = ConvBNReLU(
+            self.model_cfg["SHARED_CONV_CHANNEL"],
+            kernel=3,
+            use_bias=self.model_cfg.get("USE_BIAS_BEFORE_NORM", False),
+            name="shared_conv",
+        )(x, train)
+
+        head_dict_base = dict(self.model_cfg["SEPARATE_HEAD_CFG"]["HEAD_DICT"])
+        pred_dicts = []
+        for idx, class_ids in enumerate(self.head_class_groups()):
+            sep = dict(head_dict_base)
+            sep["hm"] = {
+                "out_channels": len(class_ids),
+                "num_conv": self.model_cfg.get("NUM_HM_CONV", 2),
+            }
+            pred_dicts.append(SeparateHead(sep, name=f"head_{idx}")(x, train))
+        batch["pred_dicts"] = pred_dicts
+        return batch
+
+
+# CurriculumCenterHead variants share the module; the curriculum behavior is
+# in the loss (com_tpu/losses/curriculum.py) and conf-shape config
+# (head_zoo.py:145-191 parity lives in models/detectors.py head config).
+for _name in (
+    "CurriculumCenterHead",
+    "CurriculumCenterHead_x5",
+    "CurriculumCenterHead_car_merge",
+    "CurriculumCenterHead_ped_merge",
+):
+    DENSE_HEADS.register(CenterHead, name=_name)
+
+
+def decode_center_boxes(
+    pred_dict: dict,
+    class_ids: tuple,  # global 1-based ids of this head's classes
+    point_cloud_range,
+    voxel_size,
+    feature_map_stride: int,
+    k: int = 500,
+    score_thresh: float = 0.1,
+    post_center_limit_range=None,
+    head_order=("center", "center_z", "dim", "rot"),
+):
+    """Top-K decode from the heatmap (centernet_utils.py:199-279 parity).
+
+    Fixed-shape: returns (boxes (B,K,7+), scores (B,K), labels (B,K) global
+    1-based, valid (B,K)).
+    """
+    hm = jax.nn.sigmoid(pred_dict["hm"])  # (B, H, W, C)
+    b, h, w, c = hm.shape
+    flat = hm.reshape(b, h * w * c)
+    scores, inds = jax.lax.top_k(flat, k)  # over all classes & cells
+    cls = (inds % c).astype(jnp.int32)
+    cell = inds // c
+    ys = (cell // w).astype(hm.dtype)
+    xs = (cell % w).astype(hm.dtype)
+
+    def gather(name):
+        t = pred_dict[name]
+        tf = t.reshape(b, h * w, t.shape[-1])
+        return jnp.take_along_axis(tf, cell[..., None], axis=1)
+
+    center = gather("center")
+    center_z = gather("center_z")
+    dim = jnp.exp(jnp.clip(gather("dim"), -8.0, 8.0))
+    rot = gather("rot")
+    angle = jnp.arctan2(rot[..., 1:2], rot[..., 0:1])
+
+    xs = (xs[..., None] + center[..., 0:1]) * feature_map_stride * voxel_size[0] + point_cloud_range[0]
+    ys = (ys[..., None] + center[..., 1:2]) * feature_map_stride * voxel_size[1] + point_cloud_range[1]
+    parts = [xs, ys, center_z, dim, angle]
+    if "vel" in pred_dict and "vel" in head_order:
+        parts.append(gather("vel"))
+    boxes = jnp.concatenate(parts, axis=-1)
+
+    valid = scores > score_thresh
+    if post_center_limit_range is not None:
+        lim = jnp.asarray(post_center_limit_range, boxes.dtype)
+        valid &= (boxes[..., :3] >= lim[:3]).all(-1) & (boxes[..., :3] <= lim[3:6]).all(-1)
+
+    label_map = jnp.asarray(class_ids, jnp.int32)
+    labels = label_map[cls]
+    return boxes, scores, labels, valid
+
+
+def post_process_nms(boxes, scores, labels, valid, nms_cfg, num_out: int):
+    """Class-agnostic NMS over decoded boxes (model_nms_utils.py:6-40 parity)."""
+    nms_type = nms_cfg.get("NMS_TYPE", "nms_gpu")
+    post = int(nms_cfg.get("NMS_POST_MAXSIZE", num_out))
+
+    def one(bx, sc, lb, vd):
+        if nms_type == "circle_nms":
+            sel, sel_valid = circle_nms(
+                bx[:, :2], sc, vd, float(nms_cfg.get("MIN_RADIUS", 4)), post
+            )
+        else:
+            sel, sel_valid = nms_bev(
+                bx, sc, vd, float(nms_cfg["NMS_THRESH"]), post
+            )
+        return bx[sel], sc[sel], lb[sel], sel_valid
+
+    return jax.vmap(one)(boxes, scores, labels, valid)

@@ -1,0 +1,152 @@
+"""CenterPoint target assignment + COM difficulty clustering — pure, vectorized.
+
+Replaces the reference's per-object CPU loops
+(curriculum_center_head.py:119-308 ``assign_target_of_single_head`` and
+``cluster`` at :431-473) with fixed-shape vectorized ops that run inside the
+jitted train step.  NUM_MAX_OBJS padding (500 in the COM configs) makes every
+shape static.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ...ops.gaussian import draw_gaussians, gaussian_radius
+
+
+class CenterTargets(NamedTuple):
+    heatmaps: jax.Array  # (B, H, W, C)
+    target_boxes: jax.Array  # (B, M, 8+)
+    inds: jax.Array  # (B, M) int32 flat y*W+x
+    mask: jax.Array  # (B, M) float 0/1
+    center_int: jax.Array  # (B, M, 2) int32 [x, y]
+    radius: jax.Array  # (B, M) int32
+    class_local: jax.Array  # (B, M) int32 local class id within head
+    group: jax.Array  # (B, M) int32 COM difficulty group (0 = none)
+
+
+def cluster_com_groups(gt_boxes, true_object, occupancy_ratio, facade_type):
+    """Per-object COM difficulty group ids (curriculum_center_head.py:431-473).
+
+    Vehicle (class 1): 3 distance x 2 length x 4 facade x 4 occupancy = 96
+    groups; Pedestrian/Cyclist (2/3): 3 distance x 5 occupancy = 15 groups.
+    Only true (non-pasted) objects get a group; everything else is 0.
+    Occupancy bins iterate from *high to low* (easy->hard), matching the
+    reference's reversed condition lists.
+    """
+    x, y = gt_boxes[..., 0], gt_boxes[..., 1]
+    length = gt_boxes[..., 3]
+    class_id = gt_boxes[..., -1].astype(jnp.int32)
+    dist = jnp.sqrt(x * x + y * y)
+
+    dist_bin = jnp.where(dist <= 30, 0, jnp.where(dist <= 50, 1, 2))
+    length_bin = jnp.where(length <= 6, 0, 1)
+    # facade 3 -> 0, 2 -> 1, 1 -> 2, 0 -> 3
+    facade_bin = 3 - facade_type.astype(jnp.int32)
+    occ = occupancy_ratio
+
+    def bin_desc(v, ths):
+        """bin 0 = above the top threshold, descending."""
+        b = jnp.zeros_like(v, dtype=jnp.int32)
+        for t in ths:  # ths descending
+            b = b + (v <= t).astype(jnp.int32)
+        return b
+
+    occ_car = bin_desc(occ, [0.7, 0.5, 0.25])  # 4 bins
+    s = 5.0 / 12.0
+    occ_pc = bin_desc(occ, [0.81 * s, 0.61 * s, 0.41 * s, 0.21 * s])  # 5 bins
+
+    car_group = ((dist_bin * 2 + length_bin) * 4 + facade_bin) * 4 + occ_car + 1
+    pc_group = dist_bin * 5 + occ_pc + 1
+
+    group = jnp.where(class_id == 1, car_group, pc_group)
+    is_true = true_object.astype(jnp.int32) == 1
+    valid_facade = (facade_bin >= 0) & (facade_bin <= 3)
+    group = jnp.where(is_true & ((class_id != 1) | valid_facade), group, 0)
+    return group.astype(jnp.int32)
+
+
+def assign_centerpoint_targets(
+    gt_boxes: jax.Array,  # (B, M, 8+) last col = class id 1..num_class, 0 pad
+    npgt: jax.Array,  # (B, M) num points in gt
+    group: jax.Array,  # (B, M) COM group ids (zeros if not curriculum)
+    class_ids_of_head: tuple,  # global class ids (1-based) handled by this head
+    fmap_h: int,
+    fmap_w: int,
+    point_cloud_range,
+    voxel_size,
+    feature_map_stride: int,
+    gaussian_overlap: float = 0.1,
+    min_radius: int = 2,
+    min_points: int = 0,
+    epoch_gate: jax.Array | None = None,  # bool: apply the min_points filter
+) -> CenterTargets:
+    """Vectorized single-head target assignment.
+
+    Numeric parity with assign_target_of_single_head
+    (curriculum_center_head.py:119-204): same coord clamping, same radius
+    formula/clamping, same regression encoding (offset, z, log-dims, cos/sin).
+    """
+    num_classes = len(class_ids_of_head)
+    b, m = gt_boxes.shape[:2]
+    dtype = gt_boxes.dtype
+
+    gclass = gt_boxes[..., -1].astype(jnp.int32)
+    # local class id within this head; -1 when not handled here
+    local = jnp.full((b, m), -1, jnp.int32)
+    for li, gc in enumerate(class_ids_of_head):
+        local = jnp.where(gclass == gc, li, local)
+    handled = local >= 0
+
+    x, y, z = gt_boxes[..., 0], gt_boxes[..., 1], gt_boxes[..., 2]
+    vx, vy = float(voxel_size[0]), float(voxel_size[1])
+    x0, y0 = float(point_cloud_range[0]), float(point_cloud_range[1])
+    coord_x = jnp.clip((x - x0) / vx / feature_map_stride, 0, fmap_w - 0.5)
+    coord_y = jnp.clip((y - y0) / vy / feature_map_stride, 0, fmap_h - 0.5)
+    center = jnp.stack([coord_x, coord_y], axis=-1)
+    center_int = center.astype(jnp.int32)
+
+    dx = gt_boxes[..., 3] / vx / feature_map_stride
+    dy = gt_boxes[..., 4] / vy / feature_map_stride
+    radius = gaussian_radius(dy, dx, min_overlap=gaussian_overlap)
+    radius = jnp.clip(radius.astype(jnp.int32), min_radius, None)
+
+    valid = handled & (dx > 0) & (dy > 0)
+    if min_points > 0:
+        gate = jnp.asarray(True) if epoch_gate is None else epoch_gate
+        valid = valid & jnp.where(gate, npgt >= min_points, True)
+
+    heatmaps = jax.vmap(
+        lambda c, r, k, v: draw_gaussians(
+            c, r, k, v, num_classes, fmap_h, fmap_w
+        )
+    )(center_int, radius, jnp.maximum(local, 0), valid)
+    heatmaps = jnp.transpose(heatmaps, (0, 2, 3, 1))  # NHWC
+
+    inds = center_int[..., 1] * fmap_w + center_int[..., 0]
+    mask = valid.astype(dtype)
+
+    extras = gt_boxes.shape[-1] - 8  # e.g. velocity channels
+    parts = [
+        center - center_int.astype(dtype),
+        z[..., None],
+        jnp.log(jnp.clip(gt_boxes[..., 3:6], 1e-4, None)),
+        jnp.cos(gt_boxes[..., 6:7]),
+        jnp.sin(gt_boxes[..., 6:7]),
+    ]
+    if extras > 0:
+        parts.append(gt_boxes[..., 7:-1])
+    target_boxes = jnp.concatenate(parts, axis=-1) * mask[..., None]
+
+    return CenterTargets(
+        heatmaps=heatmaps,
+        target_boxes=target_boxes,
+        inds=jnp.where(valid, inds, 0),
+        mask=mask,
+        center_int=center_int,
+        radius=radius * valid.astype(jnp.int32),
+        class_local=jnp.maximum(local, 0) * valid.astype(jnp.int32),
+        group=group * valid.astype(jnp.int32),
+    )

@@ -1,0 +1,141 @@
+"""Detector composition: config-driven module chains (flax).
+
+Mirror of the reference's detector zoo (pcdet/models/detectors/): detectors
+are thin compositions over the fixed slot order vfe -> backbone_3d ->
+map_to_bev -> backbone_2d -> dense_head (detector3d_template.py:23-26), with
+modules communicating through a batch dict of fixed-shape arrays.
+"""
+from __future__ import annotations
+
+from dataclasses import field
+from typing import Any
+
+from flax import linen as nn
+
+from ..utils.registry import (
+    BACKBONES_2D,
+    BACKBONES_3D,
+    DENSE_HEADS,
+    DETECTORS,
+    MAP_TO_BEV,
+    VFES,
+)
+from . import backbone2d as _b2  # noqa: F401 (register)
+from . import map_to_bev as _mb  # noqa: F401
+from . import vfe as _vfe  # noqa: F401
+from .dense_heads import center_head as _ch  # noqa: F401
+
+
+class DatasetMeta:
+    """Static dataset facts the model needs (shapes, ranges, classes)."""
+
+    def __init__(self, class_names, point_cloud_range, voxel_size, grid_size,
+                 num_point_features):
+        self.class_names = tuple(class_names)
+        self.point_cloud_range = tuple(float(v) for v in point_cloud_range)
+        self.voxel_size = tuple(float(v) for v in voxel_size)
+        self.grid_size = tuple(int(v) for v in grid_size)
+        self.num_point_features = int(num_point_features)
+
+
+class Detector3D(nn.Module):
+    """Generic slot-ordered detector; concrete detectors set the slots used."""
+
+    model_cfg: Any
+    meta: Any
+
+    def _build_vfe(self):
+        cfg = self.model_cfg.get("VFE")
+        if cfg is None:
+            return None
+        cls = VFES.get(cfg["NAME"])
+        kw = dict(model_cfg=cfg, num_point_features=self.meta.num_point_features)
+        if cfg["NAME"] != "MeanVFE":
+            kw.update(
+                voxel_size=self.meta.voxel_size,
+                point_cloud_range=self.meta.point_cloud_range,
+            )
+        if cfg["NAME"] == "DynamicPillarVFE":
+            kw.update(grid_size=self.meta.grid_size)
+        return cls(**kw)
+
+    def _build_map_to_bev(self):
+        cfg = self.model_cfg.get("MAP_TO_BEV")
+        if cfg is None:
+            return None
+        name = cfg["NAME"]
+        cls = MAP_TO_BEV.get(name)
+        if name == "PointPillarScatter":
+            return cls(model_cfg=cfg, grid_size=self.meta.grid_size)
+        return cls(model_cfg=cfg)
+
+    def _build_backbone2d(self, in_ch):
+        cfg = self.model_cfg.get("BACKBONE_2D")
+        if cfg is None:
+            return None
+        return BACKBONES_2D.get(cfg["NAME"])(model_cfg=cfg, input_channels=in_ch)
+
+    def _build_backbone3d(self):
+        cfg = self.model_cfg.get("BACKBONE_3D")
+        if cfg is None:
+            return None
+        return BACKBONES_3D.get(cfg["NAME"])(
+            model_cfg=cfg,
+            input_channels=self.meta.num_point_features,
+            grid_size=self.meta.grid_size,
+            voxel_size=self.meta.voxel_size,
+            point_cloud_range=self.meta.point_cloud_range,
+        )
+
+    def _build_dense_head(self):
+        cfg = self.model_cfg.get("DENSE_HEAD")
+        if cfg is None:
+            return None
+        return DENSE_HEADS.get(cfg["NAME"])(
+            model_cfg=cfg,
+            input_channels=0,  # inferred from inputs (NHWC)
+            num_class=len(self.meta.class_names),
+            class_names=self.meta.class_names,
+        )
+
+    @nn.compact
+    def __call__(self, batch, train: bool = True):
+        # dynamic-VFE fuses the scatter; skip map_to_bev when it already
+        # produced spatial_features
+        vfe = self._build_vfe()
+        if vfe is not None:
+            batch = vfe(batch, train)
+        b3d = self._build_backbone3d()
+        if b3d is not None:
+            batch = b3d(batch, train)
+        if "spatial_features" not in batch:
+            m2b = self._build_map_to_bev()
+            if m2b is not None:
+                batch = m2b(batch, train)
+        b2d = self._build_backbone2d(batch["spatial_features"].shape[-1])
+        if b2d is not None:
+            batch = b2d(batch, train)
+        head = self._build_dense_head()
+        if head is not None:
+            batch = head(batch, train)
+        return batch
+
+
+@DETECTORS.register
+class CenterPoint(Detector3D):
+    """CenterPoint (detectors/centerpoint.py parity) — COM's primary detector."""
+
+
+@DETECTORS.register
+class PointPillar(Detector3D):
+    """PointPillars (detectors/pointpillar.py parity)."""
+
+
+@DETECTORS.register
+class SECONDNet(Detector3D):
+    """SECOND (detectors/second_net.py parity) — sparse 3D voxel backbone."""
+
+
+def build_network(model_cfg, meta: DatasetMeta):
+    cls = DETECTORS.get(model_cfg["NAME"])
+    return cls(model_cfg=model_cfg, meta=meta)

@@ -1,0 +1,203 @@
+"""Voxel/pillar feature encoders (flax).
+
+Covers the reference VFE family (pcdet/models/backbones_3d/vfe/):
+- MeanVFE (mean_vfe.py) — mean of points per voxel.
+- PillarVFE (pillar_vfe.py:8-123) — PFN over padded (V, T, C) pillars with
+  f_cluster/f_center decorations.
+- DynamicPillarVFE (dynamic_pillar_vfe.py) — **the TPU-native flagship path**:
+  no voxel list is materialized; each point maps to a flat BEV pillar id and
+  the PFN max-pools through segment reductions whose segment space *is* the
+  dense BEV canvas, fusing voxelize + encode + PointPillarScatter into one
+  jitted graph (replacing spconv's Point2Voxel + torch_scatter entirely).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.voxelize import point_voxel_ids
+from ..utils.registry import VFES
+from .layers import MaskedBatchNorm
+
+
+@VFES.register
+class MeanVFE(nn.Module):
+    """Mean of points per voxel (hard-voxelized path)."""
+
+    model_cfg: dict
+    num_point_features: int
+
+    @nn.compact
+    def __call__(self, batch, train: bool = True):
+        voxels = batch["voxels"]  # (B, V, T, F)
+        num_points = batch["voxel_num_points"]  # (B, V)
+        denom = jnp.clip(num_points[..., None].astype(voxels.dtype), 1.0, None)
+        batch["pillar_features"] = voxels.sum(axis=2) / denom  # (B, V, F)
+        return batch
+
+
+class _PFNLayer(nn.Module):
+    out_channels: int
+    last: bool
+
+    @nn.compact
+    def __call__(self, feats, mask, pool_fn, train: bool):
+        """feats (..., C) -> pooled or concat features; pool_fn does the max."""
+        units = self.out_channels if self.last else self.out_channels // 2
+        x = nn.Dense(units, use_bias=False)(feats)
+        x = MaskedBatchNorm()(x, mask=mask, use_running_average=not train)
+        x = nn.relu(x)
+        x = x * mask[..., None].astype(x.dtype)
+        x_max, x_max_back = pool_fn(x)
+        if self.last:
+            return x_max, None
+        return x_max, jnp.concatenate([x, x_max_back], axis=-1)
+
+
+def decorate_points(xyz, feats, pillar_xy_center, cluster_mean, use_absolute_xyz=True):
+    """Concatenate [raw, f_cluster, f_center] per point (pillar_vfe.py:97-113)."""
+    f_cluster = xyz - cluster_mean
+    f_center = xyz - pillar_xy_center
+    if use_absolute_xyz:
+        return jnp.concatenate([xyz, feats, f_cluster, f_center], axis=-1)
+    return jnp.concatenate([feats, f_cluster, f_center], axis=-1)
+
+
+@VFES.register
+class PillarVFE(nn.Module):
+    """Classic PFN over hard-voxelized (B, V, T, F) pillars."""
+
+    model_cfg: dict
+    num_point_features: int
+    voxel_size: tuple
+    point_cloud_range: tuple
+
+    @nn.compact
+    def __call__(self, batch, train: bool = True):
+        voxels = batch["voxels"]  # (B, V, T, F)
+        num_points = batch["voxel_num_points"]  # (B, V)
+        coords = batch["voxel_coords"]  # (B, V, 3) zyx
+        b, v, t, f = voxels.shape
+        vx, vy, vz = self.voxel_size
+        x0, y0, z0 = self.point_cloud_range[:3]
+
+        mask = (
+            jnp.arange(t)[None, None, :] < num_points[..., None]
+        )  # (B, V, T)
+        xyz = voxels[..., :3]
+        denom = jnp.clip(num_points[..., None, None].astype(voxels.dtype), 1.0, None)
+        mean = xyz.sum(axis=2, keepdims=True) / denom
+        center = jnp.stack(
+            [
+                coords[..., 2].astype(voxels.dtype) * vx + (vx / 2 + x0),
+                coords[..., 1].astype(voxels.dtype) * vy + (vy / 2 + y0),
+                coords[..., 0].astype(voxels.dtype) * vz + (vz / 2 + z0),
+            ],
+            axis=-1,
+        )[:, :, None, :]
+        feats = decorate_points(
+            xyz,
+            voxels[..., 3:],
+            center,
+            mean,
+            self.model_cfg.get("USE_ABSLOTE_XYZ", True),
+        )
+        if self.model_cfg.get("WITH_DISTANCE", False):
+            feats = jnp.concatenate(
+                [feats, jnp.linalg.norm(xyz, axis=-1, keepdims=True)], axis=-1
+            )
+        feats = feats * mask[..., None].astype(feats.dtype)
+
+        num_filters = list(self.model_cfg["NUM_FILTERS"])
+        for i, out in enumerate(num_filters):
+            last = i == len(num_filters) - 1
+
+            def pool(x):
+                xm = jnp.where(mask[..., None], x, -jnp.inf).max(axis=2)
+                xm = jnp.where(jnp.isfinite(xm), xm, 0.0)
+                return xm, jnp.broadcast_to(xm[:, :, None, :], x.shape)
+
+            pooled, feats = _PFNLayer(out, last)(feats, mask, pool, train)
+        batch["pillar_features"] = pooled  # (B, V, C)
+        return batch
+
+
+@VFES.register
+class DynamicPillarVFE(nn.Module):
+    """Fused dynamic pillarization + PFN + scatter-to-BEV (TPU fast path).
+
+    Consumes raw padded points (B, N, F); emits batch["spatial_features"]
+    (B, H, W, C) directly.  Functional equivalent of
+    DynamicPillarVFE + PointPillarScatter in the reference, with the BEV grid
+    itself as the segment space.
+    """
+
+    model_cfg: dict
+    num_point_features: int
+    voxel_size: tuple
+    point_cloud_range: tuple
+    grid_size: tuple  # (nx, ny, nz)
+
+    @nn.compact
+    def __call__(self, batch, train: bool = True):
+        points = batch["points"]  # (B, N, F)
+        pmask = batch["points_mask"]  # (B, N)
+        b, n, f = points.shape
+        nx, ny, _ = (int(g) for g in self.grid_size)
+        hw = nx * ny
+        vx, vy, vz = self.voxel_size
+        x0, y0, z0 = self.point_cloud_range[:3]
+
+        flat, in_range = point_voxel_ids(
+            points[..., :3], self.point_cloud_range, self.voxel_size, self.grid_size
+        )  # (B, N) in [0, hw]
+        pmask = pmask & in_range
+        # batch-flattened segment ids; padded/out-of-range points -> trash slot
+        seg = jnp.where(pmask, flat + jnp.arange(b, dtype=jnp.int32)[:, None] * hw, b * hw)
+        seg = seg.reshape(-1)
+        num_segments = b * hw + 1
+
+        xyz = points[..., :3].reshape(-1, 3)
+        mflat = pmask.reshape(-1)
+
+        ones = mflat.astype(points.dtype)[:, None]
+        cnt = jax.ops.segment_sum(ones, seg, num_segments=num_segments)
+        mean = jax.ops.segment_sum(xyz * ones, seg, num_segments=num_segments)
+        mean = mean / jnp.clip(cnt, 1.0, None)
+        cluster_mean = mean[seg]
+
+        cell_x = (flat % nx).astype(points.dtype) * vx + (vx / 2 + x0)
+        cell_y = (flat // nx).astype(points.dtype) * vy + (vy / 2 + y0)
+        cell_z = jnp.full_like(cell_x, vz / 2 + z0)
+        center = jnp.stack([cell_x, cell_y, cell_z], axis=-1).reshape(-1, 3)
+
+        feats = decorate_points(
+            xyz,
+            points[..., 3:].reshape(b * n, -1),
+            center,
+            cluster_mean,
+            self.model_cfg.get("USE_ABSLOTE_XYZ", True),
+        )
+        if self.model_cfg.get("WITH_DISTANCE", False):
+            feats = jnp.concatenate(
+                [feats, jnp.linalg.norm(xyz, axis=-1, keepdims=True)], axis=-1
+            )
+        feats = feats * ones
+
+        num_filters = list(self.model_cfg["NUM_FILTERS"])
+        pooled = None
+        for i, out in enumerate(num_filters):
+            last = i == len(num_filters) - 1
+
+            def pool(x):
+                xm = jax.ops.segment_max(x, seg, num_segments=num_segments)
+                xm = jnp.where(jnp.isfinite(xm), xm, 0.0)
+                return xm, xm[seg]
+
+            pooled, feats = _PFNLayer(out, last)(feats, mflat, pool, train)
+
+        # pooled is (B*H*W + 1, C): drop trash row, reshape to the BEV canvas
+        c = pooled.shape[-1]
+        batch["spatial_features"] = pooled[:-1].reshape(b, ny, nx, c)
+        return batch
