@@ -1,0 +1,89 @@
+"""Benchmark: CenterPoint-Pillar COM training throughput on one TPU chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Scale matches the reference's COM training recipe (BASELINE.md): batch 2
+scenes/step, Waymo range +-74.88 m, 0.32 m pillars -> 468x468 BEV grid,
+~160k points/scene, 500 GT slots, full train step (fwd + bwd + optimizer +
+curriculum statistics).
+
+vs_baseline: the reference repo publishes no numbers (BASELINE.json
+"published": {}).  Baseline = 7.0 scenes/sec/chip, our documented estimate of
+the reference's A100 throughput for CenterPoint-Pillar Waymo training at
+batch 2/GPU (~0.28 s/iter typical for OpenPCDet-era PyTorch pipelines).
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+A100_BASELINE_SCENES_PER_SEC = 7.0
+
+BATCH = 2
+NUM_POINTS = 163840
+WARMUP = 3
+ITERS = 20
+
+
+def main():
+    import jax
+
+    import __graft_entry__ as ge
+    from com_tpu.parallel.mesh import make_mesh, replicate_state, shard_batch
+    from com_tpu.train.optim import build_optimizer
+    from com_tpu.train.state import TrainState
+    from com_tpu.train.step import make_train_step
+
+    cfg, meta, net, batch = ge._build(
+        batch_size=BATCH, num_points=NUM_POINTS, num_max_objs=500
+    )
+    variables = jax.jit(net.init, static_argnames=("train",))(
+        jax.random.PRNGKey(0), batch, train=False
+    )
+    tx, _ = build_optimizer(
+        variables["params"], cfg.OPTIMIZATION, total_steps=30000, steps_per_epoch=1000
+    )
+    state = TrainState.create_jit(variables, tx, num_head_groups=1)
+    grid = meta.grid_size
+    step = jax.jit(
+        make_train_step(net, cfg.MODEL, list(cfg.CLASS_NAMES), meta, tx,
+                        (grid[1], grid[0]))
+    )
+
+    # keep data resident on device; a real input pipeline double-buffers
+    batch = jax.device_put(batch)
+
+    for i in range(WARMUP):
+        state, metrics = step(state, batch, 0)
+    float(metrics["loss"])  # device->host sync: forces full completion
+    # (block_until_ready alone can return at enqueue time through the axon
+    # tunnel, inflating throughput by ~100x — measured and excluded)
+
+    t0 = time.perf_counter()
+    for i in range(ITERS):
+        state, metrics = step(state, batch, 0)
+    loss = float(metrics["loss"])
+    dt = time.perf_counter() - t0
+    assert loss == loss, "NaN loss in benchmark"
+
+    scenes_per_sec = BATCH * ITERS / dt
+    print(
+        json.dumps(
+            {
+                "metric": "waymo_centerpoint_com_train_scenes_per_sec_per_chip",
+                "value": round(scenes_per_sec, 3),
+                "unit": "scenes/sec/chip",
+                "vs_baseline": round(scenes_per_sec / A100_BASELINE_SCENES_PER_SEC, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

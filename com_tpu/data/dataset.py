@@ -1,0 +1,281 @@
+"""Dataset template + fixed-shape collate + loader.
+
+Rebuild of pcdet/datasets/dataset.py (DatasetTemplate.prepare_data:144-238 and
+collate_batch:240-370) with one deliberate change: the collate emits
+**fixed-shape** batches (points padded to MAX_POINTS_PER_SCENE, gt to
+MAX_GT_OBJECTS, voxels to MAX_NUMBER_OF_VOXELS) so every train step hits the
+same XLA executable.  COM side-arrays are optional per-dataset features — a
+dataset without them trains fine (fixes the reference's Waymo-only coupling,
+SURVEY §2.3).
+"""
+from __future__ import annotations
+
+import queue as _queue
+import threading
+from collections import defaultdict
+
+import numpy as np
+
+from ..utils.registry import DATASETS
+from .augmentor.data_augmentor import DataAugmentor
+from .point_feature_encoder import PointFeatureEncoder
+from .processor import DataProcessor
+
+GT_SIDE_KEYS = ("num_points_in_gt", "true_object", "occupancy_ratio", "facade_type")
+
+
+class DatasetTemplate:
+    def __init__(self, dataset_cfg, class_names, training=True, root_path=None,
+                 logger=None, db_infos=None, seed=None):
+        self.dataset_cfg = dataset_cfg
+        self.class_names = list(class_names)
+        self.training = training
+        self.root_path = root_path if root_path is not None else dataset_cfg.get("DATA_PATH")
+        self.logger = logger
+        self.seed = seed if seed is not None else 0
+        # one RandomState shared by augmentor/processor/collate, reseeded per
+        # (seed, epoch, index) in _reseed_for_item — per-sample determinism
+        # independent of worker scheduling (stronger than the reference's
+        # per-worker seeding, common_utils.py:111-117)
+        self.rng = np.random.RandomState(self.seed)
+
+        self.point_cloud_range = np.asarray(dataset_cfg["POINT_CLOUD_RANGE"], np.float32)
+        self.point_feature_encoder = PointFeatureEncoder(dataset_cfg["POINT_FEATURE_ENCODING"])
+        self.data_augmentor = (
+            DataAugmentor(
+                self.root_path,
+                dataset_cfg["DATA_AUGMENTOR"],
+                class_names,
+                logger=logger,
+                db_infos=db_infos,
+                rng=self.rng,
+            )
+            if training and dataset_cfg.get("DATA_AUGMENTOR") is not None
+            else None
+        )
+        self.data_processor = DataProcessor(
+            dataset_cfg.get("DATA_PROCESSOR", []),
+            self.point_cloud_range,
+            training,
+            self.point_feature_encoder.num_point_features,
+            rng=self.rng,
+        )
+        self.grid_size = self.data_processor.grid_size
+        self.voxel_size = self.data_processor.voxel_size
+        self.max_points = int(dataset_cfg.get("MAX_POINTS_PER_SCENE", 180224))
+        self.max_gt = int(dataset_cfg.get("MAX_GT_OBJECTS", 500))
+        self.epoch = 0
+
+    def __len__(self):
+        raise NotImplementedError
+
+    def __getitem__(self, index):
+        raise NotImplementedError
+
+    def set_epoch(self, epoch):
+        self.epoch = epoch
+        if self.data_augmentor is not None and self.data_augmentor.gt_sampler is not None:
+            self.data_augmentor.gt_sampler.epoch = epoch
+
+    def _reseed_for_item(self, index):
+        self.rng.seed((self.seed * 1_000_003 + self.epoch * 9_973 + index) % 2**31)
+
+    def set_confidence_groups(self, conf):
+        """Device->host curriculum feedback (train_utils.py:321-328 role)."""
+        if self.data_augmentor is not None and self.data_augmentor.gt_sampler is not None:
+            self.data_augmentor.gt_sampler.confidence_groups = conf
+
+    def prepare_data(self, data_dict):
+        """Augment -> class filter -> feature encode -> process.
+
+        prepare_data parity (dataset.py:144-238) with side-arrays kept aligned
+        through the class filter.
+        """
+        if self.training:
+            assert "gt_boxes" in data_dict
+            gt_boxes_mask = np.array(
+                [n in self.class_names for n in data_dict["gt_names"]], dtype=bool
+            )
+            data_dict["gt_boxes_mask"] = gt_boxes_mask
+            # ensure side-arrays exist so samplers/filters stay aligned
+            n = len(data_dict["gt_names"])
+            for k, default in (
+                ("num_points_in_gt", 0.0),
+                ("true_object", 1.0),
+                ("occupancy_ratio", 0.0),
+                ("facade_type", 0.0),
+            ):
+                if k not in data_dict:
+                    data_dict[k] = np.full(n, default, np.float32)
+            if self.data_augmentor is not None:
+                data_dict = self.data_augmentor.forward(data_dict)
+            else:
+                data_dict.pop("gt_boxes_mask", None)
+
+        if data_dict.get("gt_boxes", None) is not None:
+            keep = np.array([n in self.class_names for n in data_dict["gt_names"]], bool)
+            data_dict["gt_boxes"] = data_dict["gt_boxes"][keep]
+            data_dict["gt_names"] = data_dict["gt_names"][keep]
+            for k in GT_SIDE_KEYS:
+                if k in data_dict and len(np.atleast_1d(data_dict[k])) == len(keep):
+                    data_dict[k] = np.asarray(data_dict[k])[keep]
+            classes = np.array(
+                [self.class_names.index(n) + 1 for n in data_dict["gt_names"]], np.float32
+            )
+            data_dict["gt_boxes"] = np.concatenate(
+                [data_dict["gt_boxes"].astype(np.float32), classes[:, None]], axis=1
+            )
+
+        data_dict = self.point_feature_encoder.forward(data_dict)
+        data_dict = self.data_processor.forward(data_dict)
+
+        if self.training and len(data_dict.get("gt_boxes", [])) == 0:
+            # resample another frame (dataset.py:231-236 behavior)
+            new_index = self.rng.randint(len(self))
+            return self[new_index]
+        data_dict.pop("gt_names", None)
+        data_dict.pop("gt_boxes_mask", None)
+        return data_dict
+
+    # ---- fixed-shape collate ----
+    def collate_batch(self, samples):
+        batch = defaultdict(list)
+        for s in samples:
+            for k, v in s.items():
+                batch[k].append(v)
+        bs = len(samples)
+        out = {"batch_size": bs}
+
+        if "points" in batch:
+            pts = np.zeros(
+                (bs, self.max_points, batch["points"][0].shape[1]), np.float32
+            )
+            mask = np.zeros((bs, self.max_points), bool)
+            for i, p in enumerate(batch["points"]):
+                n = min(len(p), self.max_points)
+                if len(p) > self.max_points:
+                    sel = self.rng.choice(len(p), self.max_points, replace=False)
+                    p = p[sel]
+                pts[i, :n] = p[:n]
+                mask[i, :n] = True
+            out["points"] = pts
+            out["points_mask"] = mask
+
+        if "gt_boxes" in batch and batch["gt_boxes"][0] is not None:
+            width = batch["gt_boxes"][0].shape[1] if len(batch["gt_boxes"][0]) else 8
+            gt = np.zeros((bs, self.max_gt, width), np.float32)
+            for i, g in enumerate(batch["gt_boxes"]):
+                n = min(len(g), self.max_gt)
+                gt[i, :n] = g[:n]
+            out["gt_boxes"] = gt
+            for k in GT_SIDE_KEYS:
+                if k in batch:
+                    arr = np.zeros((bs, self.max_gt), np.float32)
+                    for i, v in enumerate(batch[k]):
+                        n = min(len(v), self.max_gt)
+                        arr[i, :n] = np.asarray(v, np.float32)[:n]
+                    out[k] = arr
+
+        if "voxels" in batch:
+            # pad to the STATIC config cap — a per-batch max would change the
+            # array shape every step and force an XLA recompile per batch
+            vmax = self.data_processor.max_voxels or max(
+                v.shape[0] for v in batch["voxels"]
+            )
+            t, f = batch["voxels"][0].shape[1:]
+            vox = np.zeros((bs, vmax, t, f), np.float32)
+            coords = np.full((bs, vmax, 3), -1, np.int32)
+            vnum = np.zeros((bs, vmax), np.int32)
+            for i in range(bs):
+                n = batch["voxels"][i].shape[0]
+                vox[i, :n] = batch["voxels"][i]
+                coords[i, :n] = batch["voxel_coords"][i]
+                vnum[i, :n] = batch["voxel_num_points"][i]
+            out["voxels"] = vox
+            out["voxel_coords"] = coords
+            out["voxel_num_points"] = vnum
+
+        for k in ("frame_id", "metadata"):
+            if k in batch:
+                out[k] = batch[k]
+        return out
+
+
+class PrefetchLoader:
+    """Minimal host loader: index sampling + worker threads + prefetch queue.
+
+    IO and numpy augmentation release the GIL enough for threads to overlap
+    with device steps; a process-pool variant can slot in later without
+    changing the interface (iter of collated fixed-shape batches).
+    """
+
+    def __init__(self, dataset: DatasetTemplate, batch_size: int, shuffle: bool,
+                 seed: int = 0, num_workers: int = 2, drop_last: bool = True):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.num_workers = max(1, num_workers)
+        self.drop_last = drop_last
+        self.epoch = 0
+
+    def set_epoch(self, epoch):
+        self.epoch = epoch
+        self.dataset.set_epoch(epoch)
+
+    def __len__(self):
+        n = len(self.dataset) // self.batch_size
+        if not self.drop_last and len(self.dataset) % self.batch_size:
+            n += 1
+        return n
+
+    def __iter__(self):
+        order = np.arange(len(self.dataset))
+        if self.shuffle:
+            np.random.RandomState(self.seed + self.epoch).shuffle(order)
+        batches = [
+            order[i : i + self.batch_size]
+            for i in range(0, len(order) - (self.batch_size - 1 if self.drop_last else 0), self.batch_size)
+        ]
+        q: _queue.Queue = _queue.Queue(maxsize=self.num_workers * 2)
+        stop = object()
+
+        def worker(batch_indices_list):
+            for idxs in batch_indices_list:
+                samples = [self.dataset[int(i)] for i in idxs]
+                q.put(self.dataset.collate_batch(samples))
+            q.put(stop)
+
+        shards = [batches[i :: self.num_workers] for i in range(self.num_workers)]
+        threads = [
+            threading.Thread(target=worker, args=(s,), daemon=True) for s in shards
+        ]
+        for t in threads:
+            t.start()
+        done = 0
+        while done < len(threads):
+            item = q.get()
+            if item is stop:
+                done += 1
+                continue
+            yield item
+
+
+def build_dataloader(dataset_cfg, class_names, batch_size, dist=False, root_path=None,
+                     workers=2, logger=None, training=True, seed=666, db_infos=None):
+    """(dataset, loader) — role of pcdet/datasets/__init__.py:50-81."""
+    dataset_cls = DATASETS.get(dataset_cfg["DATASET"])
+    dataset = dataset_cls(
+        dataset_cfg=dataset_cfg,
+        class_names=class_names,
+        training=training,
+        root_path=root_path,
+        logger=logger,
+        db_infos=db_infos,
+        seed=seed,
+    )
+    loader = PrefetchLoader(
+        dataset, batch_size, shuffle=training, seed=seed, num_workers=workers,
+        drop_last=training,
+    )
+    return dataset, loader

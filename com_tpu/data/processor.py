@@ -1,0 +1,118 @@
+"""Data processor queue (pcdet data_processor.py:15-221 parity).
+
+YAML-driven list of named steps.  The COM side-arrays
+(num_points_in_gt / true_object / occupancy_ratio / facade_type) are kept
+aligned through every point/box filter, like the reference does at
+data_processor.py:93-100 — but here they are optional per-dataset features,
+fixing the reference's Waymo-only coupling (SURVEY §2.3 caveat).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..ops.boxes import mask_boxes_outside_range
+from ..ops.voxelize import grid_size_from_range, voxelize_points
+
+GT_SIDE_KEYS = ("num_points_in_gt", "true_object", "occupancy_ratio", "facade_type")
+
+
+def filter_gt_arrays(data_dict, keep_mask):
+    data_dict["gt_boxes"] = data_dict["gt_boxes"][keep_mask]
+    if "gt_names" in data_dict:
+        data_dict["gt_names"] = data_dict["gt_names"][keep_mask]
+    for k in GT_SIDE_KEYS:
+        if k in data_dict:
+            data_dict[k] = data_dict[k][keep_mask]
+    return data_dict
+
+
+class DataProcessor:
+    def __init__(self, processor_configs, point_cloud_range, training,
+                 num_point_features, rng=None):
+        self.point_cloud_range = np.asarray(point_cloud_range, np.float32)
+        self.training = training
+        self.num_point_features = num_point_features
+        self.rng = rng if rng is not None else np.random
+        self.mode = "train" if training else "test"
+        self.grid_size = None
+        self.voxel_size = None
+        self.queue = []
+        self.max_voxels = None
+        self.max_points_per_voxel = None
+        for cur_cfg in processor_configs:
+            if cur_cfg["NAME"] == "transform_points_to_voxels":
+                self.voxel_size = np.asarray(cur_cfg["VOXEL_SIZE"], np.float32)
+                self.grid_size = grid_size_from_range(
+                    self.point_cloud_range, self.voxel_size
+                )
+                self.max_voxels = int(cur_cfg["MAX_NUMBER_OF_VOXELS"][self.mode])
+                self.max_points_per_voxel = int(cur_cfg["MAX_POINTS_PER_VOXEL"])
+            self.queue.append((getattr(self, cur_cfg["NAME"]), cur_cfg))
+
+    def mask_points_and_boxes_outside_range(self, data_dict, cfg):
+        points = data_dict["points"]
+        pr = self.point_cloud_range
+        m = (
+            (points[:, 0] >= pr[0]) & (points[:, 0] <= pr[3])
+            & (points[:, 1] >= pr[1]) & (points[:, 1] <= pr[4])
+        )
+        data_dict["points"] = points[m]
+        if (
+            data_dict.get("gt_boxes", None) is not None
+            and len(data_dict["gt_boxes"])
+            and cfg.get("REMOVE_OUTSIDE_BOXES", False)
+            and self.training
+        ):
+            keep = mask_boxes_outside_range(
+                data_dict["gt_boxes"], pr, min_num_corners=cfg.get("min_num_corners", 1)
+            )
+            filter_gt_arrays(data_dict, keep)
+        return data_dict
+
+    def shuffle_points(self, data_dict, cfg):
+        if cfg["SHUFFLE_ENABLED"][self.mode]:
+            idx = self.rng.permutation(data_dict["points"].shape[0])
+            data_dict["points"] = data_dict["points"][idx]
+        return data_dict
+
+    def transform_points_to_voxels(self, data_dict, cfg):
+        max_voxels = cfg["MAX_NUMBER_OF_VOXELS"][self.mode]
+        voxels, coords, num_points = voxelize_points(
+            data_dict["points"],
+            self.point_cloud_range,
+            self.voxel_size,
+            cfg["MAX_POINTS_PER_VOXEL"],
+            max_voxels,
+        )
+        data_dict["voxels"] = voxels
+        data_dict["voxel_coords"] = coords
+        data_dict["voxel_num_points"] = num_points
+        return data_dict
+
+    def sample_points(self, data_dict, cfg):
+        num = cfg["NUM_POINTS"][self.mode]
+        points = data_dict["points"]
+        if num == -1 or len(points) == 0:
+            return data_dict
+        if num < len(points):
+            depth = np.linalg.norm(points[:, :3], axis=1)
+            far = np.where(depth >= 40.0)[0]
+            near = np.where(depth < 40.0)[0]
+            if num > len(far):
+                near_keep = self.rng.choice(near, num - len(far), replace=False)
+                choice = np.concatenate([near_keep, far])
+            else:
+                choice = self.rng.choice(np.arange(len(points)), num, replace=False)
+            self.rng.shuffle(choice)
+        else:
+            choice = np.arange(len(points))
+            extra = self.rng.choice(choice, num - len(points), replace=True)
+            choice = np.concatenate([choice, extra])
+            self.rng.shuffle(choice)
+        data_dict["points"] = points[choice]
+        return data_dict
+
+    def forward(self, data_dict):
+        for fn, cfg in self.queue:
+            data_dict = fn(data_dict, cfg)
+        return data_dict

@@ -1,0 +1,117 @@
+"""Sparse 3D voxel backbones (VoxelBackBone8x / VoxelResBackBone8x roles).
+
+pcdet/models/backbones_3d/spconv_backbone.py:69-293 re-expressed over the
+gather-scatter sparse conv engine (com_tpu/ops/sparse.py): four stages at
+strides 1/2/4/8 with channels 16/32/64/128, plus the final (2,1,1)-stride
+z-compression conv; emits the dense (B, D, H/8, W/8, C) tensor consumed by
+HeightCompression and per-scale sparse features for PV-RCNN-style PFEs.
+
+Fixed per-stage voxel caps keep every shape static; caps default to a
+geometric decay of the input cap and are configurable via VOXEL_CAPS.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops import sparse as sp
+from ..utils.registry import BACKBONES_3D
+from .layers import MaskedBatchNorm
+
+
+class SparseConvBlock(nn.Module):
+    """One sparse conv (submanifold or strided) + masked BN + ReLU.
+
+    Batch handled internally: inputs are (B, V, C) / (B, V, 3) / (B, V); the
+    conv vmaps over the batch with shared kernel weights while BN reduces over
+    the whole batch (matching spconv + BatchNorm1d semantics).
+    """
+
+    out_channels: int
+    stride: tuple | None = None  # None -> submanifold
+    out_cap: int | None = None
+    kernel: int = 3
+
+    @nn.compact
+    def __call__(self, feats, coords, valid, grid_zyx, train: bool):
+        cin = feats.shape[-1]
+        k3 = self.kernel**3
+        w = self.param(
+            "kernel",
+            nn.initializers.variance_scaling(1.0, "fan_in", "normal"),
+            (k3, cin, self.out_channels),
+            jnp.float32,
+        )
+        if self.stride is None:
+            out = jax.vmap(
+                lambda f, c, v: sp.submanifold_conv3d(f, c, v, w, grid_zyx, self.kernel)
+            )(feats, coords, valid)
+            ncoords, nvalid, ngrid = coords, valid, grid_zyx
+        else:
+            out, ncoords, nvalid, _ = jax.vmap(
+                lambda f, c, v: sp.strided_conv3d(
+                    f, c, v, w, grid_zyx, self.out_cap, self.stride, self.kernel
+                )
+            )(feats, coords, valid)
+            sz, sy, sx = self.stride
+            ngrid = (
+                (int(grid_zyx[0]) + sz - 1) // sz,
+                (int(grid_zyx[1]) + sy - 1) // sy,
+                (int(grid_zyx[2]) + sx - 1) // sx,
+            )
+        out = MaskedBatchNorm()(out, mask=nvalid, use_running_average=not train)
+        out = nn.relu(out) * nvalid[..., None].astype(out.dtype)
+        return out, ncoords, nvalid, ngrid
+
+
+@BACKBONES_3D.register
+class VoxelBackBone8x(nn.Module):
+    model_cfg: dict
+    input_channels: int
+    grid_size: tuple  # (nx, ny, nz)
+    voxel_size: tuple
+    point_cloud_range: tuple
+
+    @nn.compact
+    def __call__(self, batch, train: bool = True):
+        x = batch["pillar_features"]  # (B, V, C) from MeanVFE
+        coords = batch["voxel_coords"]  # (B, V, 3) zyx
+        valid = coords[..., 0] >= 0
+        v = x.shape[1]
+        nx, ny, nz = (int(g) for g in self.grid_size)
+        # spconv pads z by +1 (spconv_backbone.py sparse_shape = grid + [1,0,0])
+        grid = (nz + 1, ny, nx)
+
+        caps = self.model_cfg.get(
+            "VOXEL_CAPS", [v, max(v // 2, 1), max(v // 4, 1), max(v // 8, 1)]
+        )
+        chans = self.model_cfg.get("CHANNELS", [16, 32, 64, 128])
+
+        multi = {}
+        x, coords, valid, grid = SparseConvBlock(chans[0], name="subm0_0")(
+            x, coords, valid, grid, train
+        )
+        multi["x_conv1"] = (x, coords, valid, grid)
+        for blk in range(1, 4):
+            x, coords, valid, grid = SparseConvBlock(
+                chans[blk], stride=(2, 2, 2), out_cap=int(caps[blk]),
+                name=f"down{blk}",
+            )(x, coords, valid, grid, train)
+            for i in range(2):
+                x, coords, valid, grid = SparseConvBlock(
+                    chans[blk], name=f"subm{blk}_{i}"
+                )(x, coords, valid, grid, train)
+            multi[f"x_conv{blk + 1}"] = (x, coords, valid, grid)
+
+        # conv_out: z-stride compression (spconv_backbone.py final conv)
+        x, coords, valid, grid = SparseConvBlock(
+            chans[3], stride=(2, 1, 1), out_cap=int(caps[3]), name="conv_out"
+        )(x, coords, valid, grid, train)
+        dense = jax.vmap(lambda f, c, m: sp.scatter_to_dense(f, c, m, grid))(
+            x, coords, valid
+        )  # (B, D, H/8, W/8, C)
+        batch["encoded_spconv_tensor"] = dense
+        batch["encoded_spconv_tensor_stride"] = 8
+        batch["multi_scale_3d_features"] = multi
+        return batch

@@ -1,2 +1,3 @@
-from . import center_head  # noqa: F401  (registers heads)
+from . import anchor_head  # noqa: F401  (registers heads)
+from . import center_head  # noqa: F401
 from . import target_assign  # noqa: F401

@@ -1,0 +1,131 @@
+"""Axis-aligned anchor target assignment — vectorized, jittable.
+
+Rebuild of AxisAlignedTargetAssigner / CurriculumAxisAlignedTargetAssigner
+(pcdet target_assigner/axis_aligned_target_assigner.py and
+curri_axis_aligned_target_assigner.py:8-342): per class, max-IoU matching of
+dense anchors to (padded) GT boxes with force-matching of each GT's best
+anchor; positive anchors inherit the GT's box target (ResidualCoder) and — in
+the curriculum variant — the GT's COM difficulty group id.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ...ops.boxes import ResidualCoder
+
+
+class AnchorTargets(NamedTuple):
+    box_cls_labels: jax.Array  # (B, A) int32: class id, 0 bg, -1 ignore
+    box_reg_targets: jax.Array  # (B, A, code)
+    reg_weights: jax.Array  # (B, A)
+    groups: jax.Array  # (B, A) int32 COM group id of matched GT (0 none)
+
+
+def nearest_bev_iou(boxes_a, boxes_b):
+    """Axis-aligned BEV IoU after snapping headings to the nearest axis
+    (box_utils.boxes3d_nearest_bev_iou parity)."""
+
+    def to_aligned(b):
+        rot = b[..., 6] - jnp.floor(b[..., 6] / jnp.pi + 0.5) * jnp.pi  # [-pi/2, pi/2)
+        swap = jnp.abs(rot) > jnp.pi / 4
+        dx = jnp.where(swap, b[..., 4], b[..., 3])
+        dy = jnp.where(swap, b[..., 3], b[..., 4])
+        return jnp.stack(
+            [b[..., 0] - dx / 2, b[..., 1] - dy / 2, b[..., 0] + dx / 2, b[..., 1] + dy / 2],
+            axis=-1,
+        )
+
+    a = to_aligned(boxes_a)
+    b = to_aligned(boxes_b)
+    lt = jnp.maximum(a[:, None, :2], b[None, :, :2])
+    rb = jnp.minimum(a[:, None, 2:], b[None, :, 2:])
+    wh = jnp.clip(rb - lt, 0.0, None)
+    inter = wh[..., 0] * wh[..., 1]
+    area_a = ((a[:, 2] - a[:, 0]) * (a[:, 3] - a[:, 1]))[:, None]
+    area_b = ((b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1]))[None, :]
+    return inter / jnp.clip(area_a + area_b - inter, 1e-6, None)
+
+
+def assign_anchors_single_class(
+    anchors,  # (A, 7)
+    gt_boxes,  # (M, 7)
+    gt_valid,  # (M,) bool — this class's (non-padded) boxes only
+    gt_groups,  # (M,) int32
+    matched_threshold: float,
+    unmatched_threshold: float,
+    box_coder: ResidualCoder,
+    class_id: int,
+):
+    """One class's assignment.  Returns (labels, targets, groups) with
+    labels: class_id pos / 0 neg / -1 ignore."""
+    a = anchors.shape[0]
+    iou = nearest_bev_iou(anchors, gt_boxes)  # (A, M)
+    iou = jnp.where(gt_valid[None, :], iou, -1.0)
+
+    anchor_best = iou.max(axis=1)
+    anchor_best_gt = iou.argmax(axis=1)
+    gt_best = iou.max(axis=0)  # (M,)
+    # force match: anchors achieving each GT's best IoU (> 0)
+    force = (iou == jnp.where(gt_valid & (gt_best > 0), gt_best, jnp.inf)[None, :])
+    force_any = force.any(axis=1)
+    force_gt = force.argmax(axis=1)
+
+    pos = (anchor_best >= matched_threshold) | force_any
+    neg = anchor_best < unmatched_threshold
+    labels = jnp.where(pos, class_id, jnp.where(neg, 0, -1)).astype(jnp.int32)
+
+    assigned_gt = jnp.where(force_any, force_gt, anchor_best_gt)
+    tgt_boxes = gt_boxes[assigned_gt]
+    targets = box_coder.encode(tgt_boxes, anchors, xp=jnp)
+    targets = targets * pos[:, None].astype(targets.dtype)
+    groups = jnp.where(pos, gt_groups[assigned_gt], 0).astype(jnp.int32)
+    return labels, targets, groups
+
+
+def assign_anchor_targets(
+    anchors_flat,  # (A, 7) static, prediction layout
+    per_class_index,  # list of static (A_c,) int arrays into anchors_flat
+    gt_boxes,  # (B, M, 8) class in last col
+    gt_groups,  # (B, M) int32
+    class_ids,  # tuple of global 1-based class ids, aligned with index list
+    matched_thresholds,  # per class
+    unmatched_thresholds,
+    box_coder: ResidualCoder,
+) -> AnchorTargets:
+    """Batch assignment over all classes in the flat anchor layout."""
+    anchors_flat = jnp.asarray(anchors_flat)
+    code = box_coder.code_size
+
+    def per_sample(gt, groups):
+        gclass = gt[:, -1].astype(jnp.int32)
+        a_total = anchors_flat.shape[0]
+        labels = jnp.zeros((a_total,), jnp.int32)
+        targets = jnp.zeros((a_total, code), anchors_flat.dtype)
+        gout = jnp.zeros((a_total,), jnp.int32)
+        for ci, (idx, cid) in enumerate(zip(per_class_index, class_ids)):
+            idx = jnp.asarray(idx)
+            valid = gclass == cid
+            l, t, g = assign_anchors_single_class(
+                anchors_flat[idx], gt[:, :7], valid, groups,
+                float(matched_thresholds[ci]), float(unmatched_thresholds[ci]),
+                box_coder, cid,
+            )
+            labels = labels.at[idx].set(l)
+            targets = targets.at[idx].set(t)
+            gout = gout.at[idx].set(g)
+        return labels, targets, gout
+
+    labels, targets, groups = jax.vmap(per_sample)(gt_boxes, gt_groups)
+    positives = labels > 0
+    reg_w = positives.astype(jnp.float32)
+    pos_norm = jnp.clip(reg_w.sum(axis=1, keepdims=True), 1.0, None)
+    reg_w = reg_w / pos_norm
+    return AnchorTargets(
+        box_cls_labels=labels,
+        box_reg_targets=targets,
+        reg_weights=reg_w,
+        groups=groups,
+    )

@@ -1,0 +1,156 @@
+"""Anchor heads: AnchorHeadSingle + COM curriculum variants.
+
+Module side of pcdet anchor_head_{template,single}.py and the curriculum
+variants (anchor_head_curriculum.py:12-308, curri_anchor_head_single.py:7-139,
+head_zoo.py:12-140).  As with the center path, the flax module only predicts;
+target assignment (anchor_assign.py) and losses (losses/anchor_losses.py) are
+pure functions in the train step, and the per-class EMA statistics live in the
+train state.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ...ops.boxes import ResidualCoder
+from ...ops.nms import nms_bev
+from ...utils.registry import DENSE_HEADS
+from .anchor_generator import generate_anchors
+
+
+def build_anchors(model_cfg, class_names, grid_size, point_cloud_range):
+    """Static anchors in the *prediction layout*: location-major with classes
+    interleaved at each cell — matching the (B, H, W, A_loc*X) conv output
+    flattened to (B, H*W*A_loc, X) (pcdet cats per-class anchors along the
+    size axis before flattening, anchor_head_template.py get_box_reg_layer_loss).
+
+    Returns (anchors_flat (A,7) np, per_class_index list of (A_c,) np,
+    matched/unmatched thresholds, class_ids)."""
+    agc = model_cfg["ANCHOR_GENERATOR_CONFIG"]
+    per_class, _ = generate_anchors(agc, grid_size, point_cloud_range)
+    # each per_class[i]: (H, W, Z, S_c, R, 7); classes concat on the S axis
+    combined = np.concatenate(per_class, axis=3)  # (H, W, Z, S_total, R, 7)
+    h, w, z, s_total, r, _ = combined.shape
+    anchors_flat = combined.reshape(-1, 7)
+
+    # class id per anchor slot in the interleaved S axis
+    slot_class = np.concatenate([
+        np.full(p.shape[3], class_names.index(cfg["class_name"]) + 1, np.int32)
+        for cfg, p in zip(agc, per_class)
+    ])  # (S_total,)
+    class_of_anchor = np.broadcast_to(
+        slot_class[None, None, None, :, None], (h, w, z, s_total, r)
+    ).reshape(-1)
+
+    per_class_index, matched, unmatched, class_ids = [], [], [], []
+    for cfg in agc:
+        cid = class_names.index(cfg["class_name"]) + 1
+        per_class_index.append(np.where(class_of_anchor == cid)[0].astype(np.int32))
+        matched.append(cfg["matched_threshold"])
+        unmatched.append(cfg["unmatched_threshold"])
+        class_ids.append(cid)
+    return anchors_flat, per_class_index, matched, unmatched, tuple(class_ids)
+
+
+@DENSE_HEADS.register
+class AnchorHeadSingle(nn.Module):
+    """1x1 conv heads for cls/box/dir over the BEV feature map."""
+
+    model_cfg: dict
+    input_channels: int
+    num_class: int
+    class_names: tuple
+
+    @nn.compact
+    def __call__(self, batch, train: bool = True):
+        x = batch["spatial_features_2d"]
+        num_anchors = sum(
+            len(c["anchor_sizes"]) * len(c["anchor_rotations"]) * len(c["anchor_bottom_heights"])
+            for c in self.model_cfg["ANCHOR_GENERATOR_CONFIG"]
+        )
+        code_size = 7
+        cls_preds = nn.Conv(
+            num_anchors * self.num_class, (1, 1), use_bias=True,
+            bias_init=nn.initializers.constant(-float(np.log((1 - 0.01) / 0.01))),
+            name="conv_cls",
+        )(x)
+        box_preds = nn.Conv(num_anchors * code_size, (1, 1), use_bias=True, name="conv_box")(x)
+        batch["cls_preds_raw"] = cls_preds
+        batch["box_preds_raw"] = box_preds
+        if self.model_cfg.get("USE_DIRECTION_CLASSIFIER", False):
+            nbins = int(self.model_cfg.get("NUM_DIR_BINS", 2))
+            batch["dir_cls_preds_raw"] = nn.Conv(
+                num_anchors * nbins, (1, 1), use_bias=True, name="conv_dir_cls"
+            )(x)
+        return batch
+
+
+for _name in (
+    "AnchorHeadCurriculum",
+    "CurriculumAnchorHeadSingle",
+    "CurriculumAnchorHeadSingle_x1",
+    "CurriculumAnchorHeadSingle_car",
+    "CurriculumAnchorHeadSingle_car_x2",
+):
+    DENSE_HEADS.register(AnchorHeadSingle, name=_name)
+
+
+def reshape_anchor_preds(batch, num_class, code_size=7, nbins=2):
+    """(B, H, W, A*X) -> (B, H*W*A, X) flat anchor-major layout matching the
+    concat order of build_anchors (class-blocked anchors per location)."""
+    cls = batch["cls_preds_raw"]
+    b, h, w, _ = cls.shape
+
+    def flat(t, x):
+        return t.reshape(b, h * w, -1, x).reshape(b, -1, x)
+
+    cls_flat = flat(cls, num_class)  # (B, A_total, C)
+    box_flat = flat(batch["box_preds_raw"], code_size)
+    dir_flat = (
+        flat(batch["dir_cls_preds_raw"], nbins)
+        if "dir_cls_preds_raw" in batch
+        else None
+    )
+    return cls_flat, box_flat, dir_flat
+
+
+def decode_anchor_boxes(batch, anchors_flat, anchor_class_ids, num_class,
+                        box_coder: ResidualCoder, dir_cfg=None):
+    """Decode per-anchor predictions to boxes + scores + labels (fixed K).
+
+    anchors_flat: (A, 7) concat over classes in the same order as preds.
+    anchor_class_ids: (A,) global 1-based class of each anchor.
+    """
+    cls_flat, box_flat, dir_flat = reshape_anchor_preds(batch, num_class)
+    cls_scores = jax.nn.sigmoid(cls_flat)  # (B, A, C)
+    scores = cls_scores.max(axis=-1)
+    boxes = box_coder.decode(box_flat, anchors_flat[None], xp=jnp)
+    if dir_flat is not None and dir_cfg is not None:
+        dir_offset = float(dir_cfg.get("DIR_OFFSET", 0.78539))
+        dir_limit = float(dir_cfg.get("DIR_LIMIT_OFFSET", 0.0))
+        nbins = int(dir_cfg.get("NUM_DIR_BINS", 2))
+        dir_labels = dir_flat.argmax(axis=-1)
+        period = 2 * jnp.pi / nbins
+        rot = boxes[..., 6] - dir_offset
+        rot = rot - jnp.floor(rot / period + dir_limit) * period
+        boxes = boxes.at[..., 6].set(rot + dir_offset + period * dir_labels)
+    labels = cls_scores.argmax(axis=-1).astype(jnp.int32) + 1
+    return boxes, scores, labels
+
+
+def anchor_post_process(boxes, scores, labels, nms_cfg, score_thresh=0.1):
+    """Score filter + topk-presort + rotated NMS, fixed shapes."""
+    pre = int(nms_cfg.get("NMS_PRE_MAXSIZE", 4096))
+    post = int(nms_cfg.get("NMS_POST_MAXSIZE", 500))
+
+    def one(bx, sc, lb):
+        k = min(pre, sc.shape[0])
+        top_sc, idx = jax.lax.top_k(sc, k)
+        top_bx, top_lb = bx[idx], lb[idx]
+        valid = top_sc > score_thresh
+        sel, sel_valid = nms_bev(top_bx, top_sc, valid, float(nms_cfg["NMS_THRESH"]), post)
+        return top_bx[sel], top_sc[sel], top_lb[sel], sel_valid
+
+    return jax.vmap(one)(boxes, scores, labels)

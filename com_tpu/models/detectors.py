@@ -21,9 +21,10 @@ from ..utils.registry import (
     VFES,
 )
 from . import backbone2d as _b2  # noqa: F401 (register)
+from . import backbone3d as _b3  # noqa: F401
 from . import map_to_bev as _mb  # noqa: F401
 from . import vfe as _vfe  # noqa: F401
-from .dense_heads import center_head as _ch  # noqa: F401
+from . import dense_heads as _dh  # noqa: F401
 
 
 class DatasetMeta:

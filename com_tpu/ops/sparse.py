@@ -1,0 +1,182 @@
+"""Sparse 3D convolution engine — gather/matmul/scatter with sorted rulebooks.
+
+TPU-native replacement for the external spconv package (SubMConv3d /
+SparseConv3d used by pcdet/models/backbones_3d/spconv_backbone.py).  Design
+(per the BASELINE.json north star):
+
+* Active voxels live in fixed-size (V_cap, C) feature arrays + (V_cap, 3)
+  zyx coords + valid mask — static shapes everywhere.
+* Neighbor lookup = binary search over the *sorted* flat coordinate keys
+  (jnp.searchsorted, vectorized) instead of a hash table: O(27 V log V)
+  VPU work, no host round-trips, fully jittable.
+* The conv itself is 27 gathers + 27 (V, Cin) @ (Cin, Cout) matmuls
+  accumulated — the FLOPs land on the MXU as dense GEMMs.
+* Strided (downsampling) conv derives its output voxel set with a
+  sort-unique over downsampled keys, padded to a fixed output cap.
+
+The submanifold convolution computes outputs only at input sites (like
+SubMConv3d); the strided convolution computes outputs at the unique
+downsampled sites reachable from inputs (like SparseConv3d with k=3, s=2,
+p=1).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def flat_key(coords, grid_zyx, valid):
+    """(V, 3) zyx int coords -> unique int32 key; invalid -> INT32_MAX."""
+    nz, ny, nx = (int(g) for g in grid_zyx)
+    key = (coords[:, 0] * ny + coords[:, 1]) * nx + coords[:, 2]
+    return jnp.where(valid, key, jnp.iinfo(jnp.int32).max)
+
+
+def _offsets(kernel=3):
+    r = kernel // 2
+    o = np.stack(
+        np.meshgrid(*([np.arange(-r, r + 1)] * 3), indexing="ij"), axis=-1
+    ).reshape(-1, 3)
+    return o  # (K^3, 3) zyx
+
+
+def build_hash(coords, valid, grid_zyx):
+    """Sorted-key 'hash': returns (sorted_keys (V,), argsort order (V,))."""
+    keys = flat_key(coords, grid_zyx, valid)
+    order = jnp.argsort(keys)
+    return keys[order], order
+
+
+def lookup(sorted_keys, order, query_keys):
+    """Indices into the ORIGINAL array for each query key; -1 if absent."""
+    pos = jnp.searchsorted(sorted_keys, query_keys)
+    pos = jnp.clip(pos, 0, sorted_keys.shape[0] - 1)
+    hit = sorted_keys[pos] == query_keys
+    idx = order[pos]
+    return jnp.where(hit, idx, -1)
+
+
+def submanifold_conv3d(
+    features,  # (V, Cin)
+    coords,  # (V, 3) zyx
+    valid,  # (V,) bool
+    weights,  # (K^3, Cin, Cout)
+    grid_zyx,  # static (nz, ny, nx)
+    kernel: int = 3,
+):
+    """SubMConv3d: output at input sites only (spconv SubMConv3d semantics)."""
+    v = features.shape[0]
+    cout = weights.shape[-1]
+    sorted_keys, order = build_hash(coords, valid, grid_zyx)
+    offs = _offsets(kernel)
+    nz, ny, nx = (int(g) for g in grid_zyx)
+
+    out = jnp.zeros((v, cout), features.dtype)
+    feats_pad = jnp.concatenate(
+        [features * valid[:, None].astype(features.dtype),
+         jnp.zeros((1, features.shape[1]), features.dtype)], axis=0
+    )
+    for k, off in enumerate(offs):
+        ncoords = coords + jnp.asarray(off, coords.dtype)
+        inb = (
+            (ncoords[:, 0] >= 0) & (ncoords[:, 0] < nz)
+            & (ncoords[:, 1] >= 0) & (ncoords[:, 1] < ny)
+            & (ncoords[:, 2] >= 0) & (ncoords[:, 2] < nx)
+            & valid
+        )
+        qkeys = flat_key(ncoords, grid_zyx, inb)
+        nidx = lookup(sorted_keys, order, qkeys)  # -1 when missing
+        gathered = feats_pad[jnp.where(nidx >= 0, nidx, v)]
+        out = out + jnp.dot(gathered, weights[k], preferred_element_type=out.dtype)
+    return out * valid[:, None].astype(out.dtype)
+
+
+def downsample_sites(coords, valid, stride_zyx, out_cap: int, grid_zyx):
+    """Unique downsampled voxel coords, padded to out_cap.
+
+    Returns (out_coords (out_cap, 3), out_valid (out_cap,)).  Sites are the
+    floor-divided input coords (SparseConv3d k=3 s=2 p=1 covers exactly
+    these sites plus a halo; like spconv we keep the footprint sites, which
+    is what VoxelBackBone8x relies on for its 2x pyramid).
+    """
+    sz, sy, sx = stride_zyx
+    down = jnp.stack(
+        [coords[:, 0] // sz, coords[:, 1] // sy, coords[:, 2] // sx], axis=1
+    )
+    dgrid = (
+        (int(grid_zyx[0]) + sz - 1) // sz,
+        (int(grid_zyx[1]) + sy - 1) // sy,
+        (int(grid_zyx[2]) + sx - 1) // sx,
+    )
+    keys = flat_key(down, dgrid, valid)
+    skeys = jnp.sort(keys)
+    first = jnp.concatenate(
+        [jnp.ones((1,), bool), skeys[1:] != skeys[:-1]]
+    ) & (skeys != jnp.iinfo(jnp.int32).max)
+    rank = jnp.cumsum(first) - 1  # unique rank per sorted slot
+    ukeys = jnp.full((out_cap,), jnp.iinfo(jnp.int32).max, jnp.int32)
+    ukeys = ukeys.at[jnp.where(first, rank, out_cap)].set(skeys, mode="drop")
+    out_valid = ukeys != jnp.iinfo(jnp.int32).max
+    nzk, nyk, nxk = dgrid
+    safe = jnp.where(out_valid, ukeys, 0)
+    oz = safe // (nyk * nxk)
+    oy = (safe // nxk) % nyk
+    ox = safe % nxk
+    out_coords = jnp.stack([oz, oy, ox], axis=1)
+    return out_coords, out_valid, dgrid
+
+
+def strided_conv3d(
+    features,  # (V, Cin)
+    coords,  # (V, 3) zyx (input resolution)
+    valid,  # (V,)
+    weights,  # (K^3, Cin, Cout)
+    grid_zyx,
+    out_cap: int,
+    stride=(2, 2, 2),
+    kernel: int = 3,
+):
+    """SparseConv3d k=3 p=1: output at unique downsampled sites; each output
+    gathers the kernel footprint in input space: in = s*out + off, off in
+    [-1..k-2] per dim (for k=3, p=1: off in {-1, 0, 1})."""
+    cout = weights.shape[-1]
+    v = features.shape[0]
+    sorted_keys, order = build_hash(coords, valid, grid_zyx)
+    out_coords, out_valid, dgrid = downsample_sites(
+        coords, valid, stride, out_cap, grid_zyx
+    )
+    offs = _offsets(kernel)
+    nz, ny, nx = (int(g) for g in grid_zyx)
+    s = jnp.asarray(stride, jnp.int32)
+
+    feats_pad = jnp.concatenate(
+        [features * valid[:, None].astype(features.dtype),
+         jnp.zeros((1, features.shape[1]), features.dtype)], axis=0
+    )
+    out = jnp.zeros((out_cap, cout), features.dtype)
+    for k, off in enumerate(offs):
+        in_coords = out_coords * s[None, :] + jnp.asarray(off, jnp.int32)
+        inb = (
+            (in_coords[:, 0] >= 0) & (in_coords[:, 0] < nz)
+            & (in_coords[:, 1] >= 0) & (in_coords[:, 1] < ny)
+            & (in_coords[:, 2] >= 0) & (in_coords[:, 2] < nx)
+            & out_valid
+        )
+        qkeys = flat_key(in_coords, grid_zyx, inb)
+        nidx = lookup(sorted_keys, order, qkeys)
+        gathered = feats_pad[jnp.where(nidx >= 0, nidx, v)]
+        out = out + jnp.dot(gathered, weights[k], preferred_element_type=out.dtype)
+    return out * out_valid[:, None].astype(out.dtype), out_coords, out_valid, dgrid
+
+
+def scatter_to_dense(features, coords, valid, grid_zyx):
+    """(V, C) sparse -> (D, H, W, C) dense (for HeightCompression)."""
+    nz, ny, nx = (int(g) for g in grid_zyx)
+    c = features.shape[-1]
+    keys = flat_key(coords, grid_zyx, valid)
+    canvas = jnp.zeros((nz * ny * nx + 1, c), features.dtype)
+    safe = jnp.where(valid, keys, nz * ny * nx)
+    canvas = canvas.at[safe].add(features * valid[:, None].astype(features.dtype))
+    return canvas[:-1].reshape(nz, ny, nx, c)

@@ -1,0 +1,151 @@
+"""Evaluation loop (tools/eval_utils/eval_utils.py:12-136 role).
+
+Jitted batched inference -> fixed-shape decode+NMS on device -> host-side
+trim to valid detections -> dataset.evaluation adapter.  Recall instrumentation
+against GT (detector3d_template.py:286-328 role) built from the same rotated
+IoU op used everywhere else.
+"""
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.dense_heads.center_head import decode_center_boxes, post_process_nms
+from ..ops.iou import boxes_iou3d
+
+
+def make_eval_step(net, model_cfg, class_names, meta):
+    head_cfg = model_cfg["DENSE_HEAD"]
+    if "ANCHOR_GENERATOR_CONFIG" in head_cfg:
+        return _make_anchor_eval_step(net, model_cfg, class_names, meta)
+    post = head_cfg["POST_PROCESSING"]
+    stride = int(head_cfg["TARGET_ASSIGNER_CONFIG"].get("FEATURE_MAP_STRIDE", 1))
+
+    def head_groups():
+        out = []
+        for names in head_cfg["CLASS_NAMES_EACH_HEAD"]:
+            out.append(tuple(class_names.index(n) + 1 for n in names if n in class_names))
+        return out
+
+    def eval_step(variables, batch):
+        out = net.apply(variables, dict(batch), train=False)
+        all_boxes, all_scores, all_labels, all_valid = [], [], [], []
+        for pred_dict, class_ids in zip(out["pred_dicts"], head_groups()):
+            boxes, scores, labels, valid = decode_center_boxes(
+                pred_dict,
+                class_ids,
+                meta.point_cloud_range,
+                meta.voxel_size,
+                stride,
+                k=int(post.get("MAX_OBJ_PER_SAMPLE", 500)),
+                score_thresh=float(post.get("SCORE_THRESH", 0.1)),
+                post_center_limit_range=post.get("POST_CENTER_LIMIT_RANGE"),
+                head_order=tuple(head_cfg["SEPARATE_HEAD_CFG"]["HEAD_ORDER"]),
+            )
+            boxes, scores, labels, valid = post_process_nms(
+                boxes, scores, labels, valid, post["NMS_CONFIG"],
+                int(post["NMS_CONFIG"].get("NMS_POST_MAXSIZE", 500)),
+            )
+            all_boxes.append(boxes)
+            all_scores.append(scores)
+            all_labels.append(labels)
+            all_valid.append(valid)
+        return (
+            jnp.concatenate(all_boxes, axis=1),
+            jnp.concatenate(all_scores, axis=1),
+            jnp.concatenate(all_labels, axis=1),
+            jnp.concatenate(all_valid, axis=1),
+        )
+
+    return eval_step
+
+
+def _make_anchor_eval_step(net, model_cfg, class_names, meta):
+    """Anchor-path inference: decode all anchors, score-filter, rotated NMS
+    (anchor_head_template.generate_predicted_boxes + model post_processing)."""
+    from ..models.dense_heads.anchor_head import (
+        anchor_post_process,
+        build_anchors,
+        decode_anchor_boxes,
+    )
+    from ..ops.boxes import ResidualCoder
+
+    head_cfg = model_cfg["DENSE_HEAD"]
+    post = model_cfg.get("POST_PROCESSING", {})
+    nms_cfg = post.get("NMS_CONFIG", {"NMS_TYPE": "nms_gpu", "NMS_THRESH": 0.7,
+                                      "NMS_PRE_MAXSIZE": 4096, "NMS_POST_MAXSIZE": 500})
+    score_thresh = float(post.get("SCORE_THRESH", 0.1))
+    anchors_flat, _, _, _, class_ids = build_anchors(
+        head_cfg, list(class_names), meta.grid_size, meta.point_cloud_range
+    )
+    coder = ResidualCoder()
+
+    def eval_step(variables, batch):
+        out = net.apply(variables, dict(batch), train=False)
+        boxes, scores, labels = decode_anchor_boxes(
+            out, jnp.asarray(anchors_flat), None, len(class_names), coder,
+            dir_cfg=head_cfg if head_cfg.get("USE_DIRECTION_CLASSIFIER") else None,
+        )
+        return anchor_post_process(boxes, scores, labels, nms_cfg, score_thresh)
+
+    return eval_step
+
+
+def recall_stats(pred_boxes, gt_boxes, thresh_list=(0.3, 0.5, 0.7)):
+    """Per-frame recall counts vs GT (rotated 3D IoU)."""
+    gt = gt_boxes[gt_boxes[:, -1] > 0]
+    out = {f"recall_{t}": 0 for t in thresh_list}
+    out["gt"] = len(gt)
+    if len(gt) == 0 or len(pred_boxes) == 0:
+        return out
+    iou = boxes_iou3d(pred_boxes[:, :7], gt[:, :7])
+    best = iou.max(axis=0)
+    for t in thresh_list:
+        out[f"recall_{t}"] = int((best > t).sum())
+    return out
+
+
+def eval_model(eval_step, variables, loader, class_names, logger=None,
+               recall_thresh_list=(0.3, 0.5, 0.7), batch_keys=None):
+    eval_step = jax.jit(eval_step)
+    det_annos = []
+    recalls = {f"recall_{t}": 0 for t in recall_thresh_list}
+    recalls["gt"] = 0
+    t0 = time.time()
+    n_frames = 0
+    for batch in loader:
+        host = {k: v for k, v in batch.items()
+                if isinstance(v, np.ndarray)
+                and (batch_keys is None or k in batch_keys or k == "gt_boxes")}
+        boxes, scores, labels, valid = jax.device_get(eval_step(variables, host))
+        bs = boxes.shape[0]
+        n_frames += bs
+        for i in range(bs):
+            v = valid[i]
+            order = np.argsort(-scores[i][v])
+            frame_boxes = boxes[i][v][order]
+            frame_scores = scores[i][v][order]
+            frame_labels = labels[i][v][order]
+            frame_id = batch.get("frame_id", [None] * bs)[i]
+            det_annos.append({
+                "frame_id": frame_id,
+                "boxes_lidar": frame_boxes,
+                "score": frame_scores,
+                "pred_labels": frame_labels,
+                "name": np.array([class_names[int(l) - 1] for l in frame_labels]),
+            })
+            if "gt_boxes" in batch:
+                r = recall_stats(frame_boxes, batch["gt_boxes"][i], recall_thresh_list)
+                for k in recalls:
+                    recalls[k] += r[k]
+    sec_per_example = (time.time() - t0) / max(n_frames, 1)
+    if logger:
+        gt = max(recalls["gt"], 1)
+        logger.info(
+            "eval: %d frames, %.4f s/frame, " % (n_frames, sec_per_example)
+            + " ".join(f"{k}={recalls[k] / gt:.3f}" for k in recalls if k != "gt")
+        )
+    return det_annos, recalls, sec_per_example

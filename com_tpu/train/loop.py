@@ -1,0 +1,86 @@
+"""Training loop with the COM epoch feedback (train_utils.py:219-387 role).
+
+Per epoch: set sampler/head epoch -> run jitted steps over the loader ->
+accumulate the per-(class,group) confidence sums/counts (already globally
+reduced inside the step under pjit) -> normalize and hand to the COMAug
+sampler -> checkpoint.  The device->host transfer is one small (C, G) array
+per epoch, versus the reference's per-iter python-side accumulation plus
+epoch-end NCCL all_gather (train_utils.py:109-123, 269-289).
+"""
+from __future__ import annotations
+
+import time
+
+import jax
+import numpy as np
+
+from ..utils.checkpoint import save_checkpoint
+from ..utils.common import AverageMeter
+from ..utils.transfer import fast_device_get
+
+
+def train_model(
+    step_fn,
+    state,
+    loader,
+    num_epochs: int,
+    ckpt_dir=None,
+    logger=None,
+    start_epoch: int = 0,
+    ckpt_save_interval: int = 1,
+    max_ckpt_save_num: int = 50,
+    log_interval: int = 50,
+    mesh=None,
+    metric_hook=None,
+    batch_keys=None,
+):
+    accumulated_iter = 0
+    for epoch in range(start_epoch, num_epochs):
+        loader.set_epoch(epoch)
+        if getattr(state, "conf_sum", None) is not None:
+            state = state.reset_epoch_stats()
+        data_meter, step_meter = AverageMeter(), AverageMeter()
+        end = time.time()
+        metrics = None
+        for it, batch in enumerate(loader):
+            data_meter.update(time.time() - end)
+            host_batch = {k: v for k, v in batch.items()
+                          if isinstance(v, np.ndarray)
+                          and (batch_keys is None or k in batch_keys)}
+            if mesh is not None:
+                from ..parallel.mesh import shard_batch
+
+                host_batch = shard_batch(host_batch, mesh)
+            state, metrics = step_fn(state, host_batch, epoch)
+            step_meter.update(time.time() - end - data_meter.val)
+            end = time.time()
+            accumulated_iter += 1
+            if logger and it % log_interval == 0:
+                logger.info(
+                    "epoch %d it %d loss %.4f d_time %.3f s_time %.3f",
+                    epoch, it, float(metrics["loss"]), data_meter.avg, step_meter.avg,
+                )
+            if metric_hook is not None:
+                metric_hook(epoch, it, metrics)
+
+        # epoch-end device->host curriculum feedback (one small transfer)
+        if getattr(state, "conf_sum", None) is not None:
+            conf = np.asarray(state.conf_sum) / (np.asarray(state.conf_cnt) + 0.01)
+            loader.dataset.set_confidence_groups(conf)
+            if logger:
+                logger.info("epoch %d confidence groups updated (mean %.4f)",
+                            epoch, float(conf.mean()))
+
+        if ckpt_dir is not None and (epoch + 1) % ckpt_save_interval == 0:
+            sampler = getattr(loader.dataset, "data_augmentor", None)
+            sampler = sampler.gt_sampler if sampler is not None else None
+            sampler_state = None
+            if sampler is not None and sampler.confidence_groups is not None:
+                sampler_state = {"confidence_groups": np.asarray(sampler.confidence_groups)}
+            save_checkpoint(
+                fast_device_get(state), ckpt_dir, epoch + 1, accumulated_iter,
+                sampler_state=sampler_state, max_ckpt_save_num=max_ckpt_save_num,
+            )
+            if logger:
+                logger.info("saved checkpoint epoch %d", epoch + 1)
+    return state, accumulated_iter

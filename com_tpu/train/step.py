@@ -149,16 +149,160 @@ def compute_centerpoint_loss(
     return total, tuple(new_states), aux_list, tb
 
 
+def compute_anchor_loss(batch, model_cfg, class_names, meta, curriculum_states, epoch):
+    """Anchor-path loss (anchor_head_template get_loss + curriculum variants).
+
+    cls: (curriculum) sigmoid focal over (B, A, C) one-hot; reg: smooth-L1 with
+    sin-difference heading encoding, weighted by the per-anchor curriculum
+    weight; dir: CE over direction bins, same weighting
+    (anchor_head_curriculum.py:150-256 parity).
+    """
+    from ..losses.anchor_losses import (
+        AnchorCurriculumState,
+        anchor_group_confidences,
+        curriculum_sigmoid_focal_loss,
+        sigmoid_focal_loss,
+        weighted_cross_entropy,
+        weighted_smooth_l1,
+    )
+    from ..models.dense_heads.anchor_assign import assign_anchor_targets
+    from ..models.dense_heads.anchor_head import build_anchors, reshape_anchor_preds
+    from ..ops.boxes import ResidualCoder
+
+    head_cfg = model_cfg["DENSE_HEAD"]
+    lw = head_cfg["LOSS_CONFIG"]["LOSS_WEIGHTS"]
+    curriculum_cfg = head_cfg.get("LOSS_CURRICULUM", None)
+    is_cur = curriculum_cfg is not None
+    num_class = len(class_names)
+
+    anchors_flat, per_class_index, matched, unmatched, class_ids = build_anchors(
+        head_cfg, list(class_names), meta.grid_size, meta.point_cloud_range
+    )
+    coder = ResidualCoder()
+
+    gt_boxes = batch["gt_boxes"]
+    if is_cur and "true_object" in batch:
+        group = cluster_com_groups(
+            gt_boxes, batch["true_object"],
+            batch.get("occupancy_ratio", jnp.zeros(gt_boxes.shape[:2])),
+            batch.get("facade_type", jnp.zeros(gt_boxes.shape[:2])),
+        )
+    else:
+        group = jnp.zeros(gt_boxes.shape[:2], jnp.int32)
+
+    targets = assign_anchor_targets(
+        anchors_flat, per_class_index, gt_boxes, group, class_ids,
+        matched, unmatched, coder,
+    )
+    cls_flat, box_flat, dir_flat = reshape_anchor_preds(batch, num_class)
+    b = cls_flat.shape[0]
+
+    labels = targets.box_cls_labels
+    cared = labels >= 0
+    positives = labels > 0
+    negatives = labels == 0
+    cls_w = (negatives.astype(jnp.float32) + positives.astype(jnp.float32))
+    pos_norm = jnp.clip(positives.sum(axis=1, keepdims=True).astype(jnp.float32), 1.0, None)
+    cls_w = cls_w / pos_norm * cared.astype(jnp.float32)
+    one_hot = jax.nn.one_hot(jnp.where(cared, labels, 0), num_class + 1)[..., 1:]
+
+    # per-anchor group ids spread into the one-hot class layout
+    groups_oh = one_hot.astype(jnp.int32) * targets.groups[..., None]
+
+    aux_states = []
+    if is_cur:
+        state0 = curriculum_states[0] if curriculum_states else AnchorCurriculumState.create(num_class)
+        cls_loss_src, cw, new_state, (conf_sum, conf_cnt) = curriculum_sigmoid_focal_loss(
+            cls_flat, one_hot, cls_w, groups_oh, state0, curriculum_cfg, epoch,
+        )
+        # reduce per-class weight to per-anchor (reference squeezes the class
+        # dim for its single-class configs; multi-class uses the max)
+        cw_anchor = cw.max(axis=-1)
+        aux_states.append(new_state)
+    else:
+        cls_loss_src = sigmoid_focal_loss(cls_flat, one_hot, cls_w)
+        conf_sum, conf_cnt = anchor_group_confidences(
+            jax.nn.sigmoid(cls_flat), groups_oh, num_class
+        )
+        cw_anchor = jnp.ones_like(cls_w)
+        if curriculum_states:
+            aux_states.append(curriculum_states[0])
+    cls_loss = cls_loss_src.sum() / b * float(lw.get("cls_weight", 1.0))
+
+    # sin-difference heading encoding (add_sin_difference parity)
+    anchors_b = jnp.asarray(anchors_flat)[None]
+    p6, t6 = box_flat[..., 6:7], targets.box_reg_targets[..., 6:7]
+    box_p = jnp.concatenate(
+        [box_flat[..., :6], jnp.sin(p6) * jnp.cos(t6), box_flat[..., 7:]], axis=-1
+    )
+    box_t = jnp.concatenate(
+        [targets.box_reg_targets[..., :6], jnp.cos(p6) * jnp.sin(t6),
+         targets.box_reg_targets[..., 7:]], axis=-1
+    )
+    loc_src = weighted_smooth_l1(
+        box_p, box_t, targets.reg_weights * cw_anchor,
+        code_weights=lw.get("code_weights"),
+    )
+    loc_loss = loc_src.sum() / b * float(lw.get("loc_weight", 2.0))
+
+    total = cls_loss + loc_loss
+    tb = {"rpn_loss_cls": cls_loss, "rpn_loss_loc": loc_loss}
+    if dir_flat is not None:
+        dir_offset = float(head_cfg.get("DIR_OFFSET", 0.78539))
+        nbins = int(head_cfg.get("NUM_DIR_BINS", 2))
+        rot_gt = targets.box_reg_targets[..., 6] + anchors_b[..., 6]
+        off = rot_gt - dir_offset
+        off = off - jnp.floor(off / (2 * jnp.pi)) * (2 * jnp.pi)
+        dir_t = jnp.clip((off / (2 * jnp.pi / nbins)).astype(jnp.int32), 0, nbins - 1)
+        dir_oh = jax.nn.one_hot(dir_t, nbins)
+        dw = positives.astype(jnp.float32)
+        dw = dw / jnp.clip(dw.sum(axis=-1, keepdims=True), 1.0, None)
+        dir_loss = weighted_cross_entropy(dir_flat, dir_oh, dw * cw_anchor)
+        dir_loss = dir_loss.sum() / b * float(lw.get("dir_weight", 0.2))
+        total = total + dir_loss
+        tb["rpn_loss_dir"] = dir_loss
+
+    aux = CurriculumAux(
+        confidence_sum=conf_sum, confidence_cnt=conf_cnt,
+        avg_confidence=jnp.zeros(()), box_mask=targets.reg_weights,
+    )
+    return total, tuple(aux_states), [aux], tb
+
+
+def is_anchor_head(model_cfg) -> bool:
+    return "ANCHOR_GENERATOR_CONFIG" in model_cfg.get("DENSE_HEAD", {})
+
+
+def device_batch_keys(model_cfg) -> set:
+    """The batch keys the model/loss actually consume.  Shipping unused
+    arrays to the device wastes tunnel bandwidth and — worse — anything with
+    a data-dependent shape would retrigger compilation."""
+    keys = {"gt_boxes", "num_points_in_gt", "true_object", "occupancy_ratio",
+            "facade_type"}
+    vfe = model_cfg.get("VFE", {}).get("NAME", "")
+    if vfe.startswith("Dynamic"):
+        keys |= {"points", "points_mask"}
+    else:
+        keys |= {"voxels", "voxel_coords", "voxel_num_points"}
+    return keys
+
+
 def make_train_step(net, model_cfg, class_names, meta, tx, fmap_hw):
     """Build the jittable train step: (state, batch, epoch) -> (state, metrics)."""
+    anchor_path = is_anchor_head(model_cfg)
 
     def train_step(state: TrainState, batch: dict, epoch):
         def loss_fn(params):
             variables = {"params": params, "batch_stats": state.batch_stats}
             out, mut = net.apply(variables, dict(batch), train=True, mutable=["batch_stats"])
-            loss, new_cur, aux_list, tb = compute_centerpoint_loss(
-                out, model_cfg, class_names, meta, state.curriculum, epoch, fmap_hw
-            )
+            if anchor_path:
+                loss, new_cur, aux_list, tb = compute_anchor_loss(
+                    out, model_cfg, class_names, meta, state.curriculum, epoch
+                )
+            else:
+                loss, new_cur, aux_list, tb = compute_centerpoint_loss(
+                    out, model_cfg, class_names, meta, state.curriculum, epoch, fmap_hw
+                )
             return loss, (mut["batch_stats"], new_cur, aux_list, tb)
 
         (loss, (bs, new_cur, aux_list, tb)), grads = jax.value_and_grad(
@@ -166,15 +310,22 @@ def make_train_step(net, model_cfg, class_names, meta, tx, fmap_hw):
         )(state.params)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = jax.tree.map(lambda p, u: p + u, state.params, updates)
+        conf_sum = sum(a.confidence_sum for a in aux_list)
+        conf_cnt = sum(a.confidence_cnt for a in aux_list)
+        # accumulate epoch curriculum stats on device — no per-iter sync.
+        # (None stays None: a state created without conf accumulators keeps
+        # the same pytree structure across steps)
+        acc_sum = None if state.conf_sum is None else state.conf_sum + conf_sum
+        acc_cnt = None if state.conf_cnt is None else state.conf_cnt + conf_cnt
         new_state = state.replace(
             step=state.step + 1,
             params=params,
             batch_stats=bs,
             opt_state=opt_state,
             curriculum=new_cur,
+            conf_sum=acc_sum,
+            conf_cnt=acc_cnt,
         )
-        conf_sum = sum(a.confidence_sum for a in aux_list)
-        conf_cnt = sum(a.confidence_cnt for a in aux_list)
         metrics = {"loss": loss, **tb,
                    "confidence_sum": conf_sum, "confidence_cnt": conf_cnt}
         return new_state, metrics

@@ -1,0 +1,125 @@
+"""Evaluation CLI (tools/test.py parity: single-ckpt and eval-all modes)."""
+from __future__ import annotations
+
+import argparse
+import datetime
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+import numpy as np  # noqa: E402
+
+
+def parse_config():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--cfg_file", type=str, required=True)
+    parser.add_argument("--batch_size", type=int, default=None)
+    parser.add_argument("--workers", type=int, default=4)
+    parser.add_argument("--extra_tag", type=str, default="default")
+    parser.add_argument("--ckpt", type=str, default=None)
+    parser.add_argument("--eval_all", action="store_true",
+                        help="poll the ckpt dir and evaluate checkpoints as they appear")
+    parser.add_argument("--max_waiting_mins", type=int, default=30)
+    parser.add_argument("--output_dir", type=str, default=None)
+    parser.add_argument("--set", dest="set_cfgs", default=None, nargs=argparse.REMAINDER)
+    args = parser.parse_args()
+
+    from com_tpu.utils.config import CfgNode, cfg_from_list, cfg_from_yaml_file
+
+    cfg = cfg_from_yaml_file(args.cfg_file, CfgNode())
+    if args.set_cfgs is not None:
+        cfg_from_list(args.set_cfgs, cfg)
+    return args, cfg
+
+
+def evaluate_ckpt(ckpt_path, cfg, args, logger):
+    import jax
+
+    from com_tpu.data import build_dataloader
+    from com_tpu.models.detectors import DatasetMeta, build_network
+    from com_tpu.train.eval import eval_model, make_eval_step
+    from com_tpu.train.optim import build_optimizer
+    from com_tpu.train.state import TrainState
+    from com_tpu.utils.checkpoint import load_checkpoint
+
+    batch = args.batch_size or int(cfg.OPTIMIZATION.BATCH_SIZE_PER_GPU)
+    dataset, loader = build_dataloader(
+        cfg.DATA_CONFIG, cfg.CLASS_NAMES, batch, training=False,
+        workers=args.workers, logger=logger,
+    )
+    grid = dataset.grid_size if dataset.grid_size is not None else [468, 468, 1]
+    vsize = dataset.voxel_size if dataset.voxel_size is not None else [0.32, 0.32, 6.0]
+    meta = DatasetMeta(cfg.CLASS_NAMES, dataset.point_cloud_range, vsize, grid,
+                       dataset.point_feature_encoder.num_point_features)
+    net = build_network(cfg.MODEL, meta)
+
+    sample = next(iter(loader))
+    example = {k: v for k, v in sample.items() if isinstance(v, np.ndarray)}
+    variables = jax.jit(net.init, static_argnames=("train",))(
+        jax.random.PRNGKey(0), example, train=False
+    )
+    tx, _ = build_optimizer(variables["params"], cfg.OPTIMIZATION, 1000, 100)
+    num_heads = len(cfg.MODEL.DENSE_HEAD.CLASS_NAMES_EACH_HEAD)
+    template = TrainState.create_jit(variables, tx, num_head_groups=num_heads)
+    from com_tpu.utils.transfer import host_zeros_like
+
+    payload = load_checkpoint(ckpt_path, host_zeros_like(template))
+    state = payload["state"]
+    variables = {"params": state.params if hasattr(state, "params") else state["params"],
+                 "batch_stats": state.batch_stats if hasattr(state, "batch_stats") else state["batch_stats"]}
+
+    eval_step = make_eval_step(net, cfg.MODEL, list(cfg.CLASS_NAMES), meta)
+    det_annos, recalls, spe = eval_model(
+        eval_step, variables, loader, list(cfg.CLASS_NAMES), logger=logger,
+        recall_thresh_list=tuple(cfg.MODEL.POST_PROCESSING.get("RECALL_THRESH_LIST", [0.3, 0.5, 0.7])),
+    )
+    if hasattr(dataset, "evaluation"):
+        result_str, result_dict = dataset.evaluation(det_annos, list(cfg.CLASS_NAMES))
+        logger.info("eval result: %s", result_str)
+        return result_dict
+    return {}
+
+
+def main():
+    args, cfg = parse_config()
+    from com_tpu.utils.checkpoint import _ckpt_dirs
+    from com_tpu.utils.common import create_logger
+
+    out_root = Path(args.output_dir) if args.output_dir else REPO / "output"
+    out_dir = out_root / cfg.EXP_GROUP_PATH / cfg.TAG / args.extra_tag
+    eval_dir = out_dir / "eval"
+    eval_dir.mkdir(parents=True, exist_ok=True)
+    logger = create_logger(eval_dir / f"log_eval_{datetime.datetime.now():%Y%m%d-%H%M%S}.txt")
+
+    if not args.eval_all:
+        assert args.ckpt is not None, "--ckpt required unless --eval_all"
+        evaluate_ckpt(args.ckpt, cfg, args, logger)
+        return
+
+    # repeat_eval_ckpt: poll ckpt dir, evaluate new checkpoints as they appear
+    ckpt_dir = out_dir / "ckpt"
+    ledger = eval_dir / "eval_list_val.txt"
+    evaluated = set()
+    if ledger.exists():
+        evaluated = set(ledger.read_text().split())
+    waited = 0.0
+    while waited < args.max_waiting_mins * 60:
+        todo = [(e, p) for e, p in _ckpt_dirs(ckpt_dir) if str(e) not in evaluated]
+        if not todo:
+            time.sleep(30)
+            waited += 30
+            continue
+        waited = 0.0
+        for epoch, path in todo:
+            logger.info("evaluating checkpoint epoch %d", epoch)
+            evaluate_ckpt(path, cfg, args, logger)
+            evaluated.add(str(epoch))
+            with open(ledger, "a") as f:
+                f.write(f"{epoch}\n")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,149 @@
+"""Training CLI (tools/train.py parity: same flags, TPU-native internals)."""
+from __future__ import annotations
+
+import argparse
+import datetime
+import os
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+import numpy as np  # noqa: E402
+
+
+def parse_config():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--cfg_file", type=str, required=True)
+    parser.add_argument("--batch_size", type=int, default=None)
+    parser.add_argument("--epochs", type=int, default=None)
+    parser.add_argument("--workers", type=int, default=4)
+    parser.add_argument("--extra_tag", type=str, default="default")
+    parser.add_argument("--ckpt", type=str, default=None)
+    parser.add_argument("--fix_random_seed", action="store_true")
+    parser.add_argument("--seed", type=int, default=666)
+    parser.add_argument("--ckpt_save_interval", type=int, default=1)
+    parser.add_argument("--max_ckpt_save_num", type=int, default=50)
+    parser.add_argument("--output_dir", type=str, default=None)
+    parser.add_argument("--set", dest="set_cfgs", default=None, nargs=argparse.REMAINDER)
+    args = parser.parse_args()
+
+    from com_tpu.utils.config import CfgNode, cfg_from_list, cfg_from_yaml_file
+
+    cfg = cfg_from_yaml_file(args.cfg_file, CfgNode())
+    if args.set_cfgs is not None:
+        cfg_from_list(args.set_cfgs, cfg)
+    return args, cfg
+
+
+def main():
+    args, cfg = parse_config()
+
+    import jax
+
+    from com_tpu.data import build_dataloader
+    from com_tpu.models.detectors import DatasetMeta, build_network
+    from com_tpu.parallel.mesh import make_mesh, replicate_state
+    from com_tpu.train.loop import train_model
+    from com_tpu.train.optim import build_optimizer
+    from com_tpu.train.state import TrainState
+    from com_tpu.train.step import make_train_step
+    from com_tpu.utils.checkpoint import resume_latest
+    from com_tpu.utils.common import create_logger, set_random_seed
+    from com_tpu.utils.config import log_config_to_file
+
+    out_root = Path(args.output_dir) if args.output_dir else REPO / "output"
+    out_dir = out_root / cfg.EXP_GROUP_PATH / cfg.TAG / args.extra_tag
+    ckpt_dir = out_dir / "ckpt"
+    out_dir.mkdir(parents=True, exist_ok=True)
+    log_file = out_dir / f"log_train_{datetime.datetime.now():%Y%m%d-%H%M%S}.txt"
+    logger = create_logger(log_file)
+    logger.info("devices: %s", jax.devices())
+    log_config_to_file(cfg, logger=logger)
+
+    if args.fix_random_seed:
+        set_random_seed(args.seed)
+
+    batch_per_device = args.batch_size or int(cfg.OPTIMIZATION.BATCH_SIZE_PER_GPU)
+    n_devices = len(jax.devices())
+    global_batch = batch_per_device * n_devices
+    epochs = args.epochs or int(cfg.OPTIMIZATION.NUM_EPOCHS)
+
+    dataset, loader = build_dataloader(
+        cfg.DATA_CONFIG, cfg.CLASS_NAMES, global_batch, training=True,
+        workers=args.workers, logger=logger, seed=args.seed,
+    )
+    grid = dataset.grid_size if dataset.grid_size is not None else [468, 468, 1]
+    vsize = dataset.voxel_size if dataset.voxel_size is not None else [0.32, 0.32, 6.0]
+    meta = DatasetMeta(
+        cfg.CLASS_NAMES, dataset.point_cloud_range, vsize, grid,
+        dataset.point_feature_encoder.num_point_features,
+    )
+    net = build_network(cfg.MODEL, meta)
+
+    from com_tpu.train.step import device_batch_keys
+
+    bkeys = device_batch_keys(cfg.MODEL)
+    sample = next(iter(loader))
+    example = {k: v for k, v in sample.items()
+               if isinstance(v, np.ndarray) and k in bkeys}
+    variables = jax.jit(net.init, static_argnames=("train",))(
+        jax.random.PRNGKey(args.seed), example, train=False
+    )
+    n_params = sum(x.size for x in jax.tree.leaves(variables["params"]))
+    logger.info("model %s: %.2fM params", cfg.MODEL.NAME, n_params / 1e6)
+
+    steps_per_epoch = len(loader)
+    tx, lr_fn = build_optimizer(
+        variables["params"], cfg.OPTIMIZATION,
+        total_steps=steps_per_epoch * epochs, steps_per_epoch=steps_per_epoch,
+    )
+    from com_tpu.train.step import is_anchor_head
+
+    if is_anchor_head(cfg.MODEL):
+        num_heads = 1
+        anchor_nc = (
+            len(cfg.CLASS_NAMES)
+            if "LOSS_CURRICULUM" in cfg.MODEL.DENSE_HEAD
+            else None
+        )
+    else:
+        num_heads = len(cfg.MODEL.DENSE_HEAD.CLASS_NAMES_EACH_HEAD)
+        anchor_nc = None
+    from com_tpu.train.step import conf_shape_for
+
+    state = TrainState.create_jit(variables, tx, num_head_groups=num_heads,
+                                  anchor_num_class=anchor_nc,
+                                  conf_shape=conf_shape_for(cfg.MODEL, list(cfg.CLASS_NAMES)))
+
+    from com_tpu.utils.transfer import host_zeros_like
+
+    start_epoch = 0
+    resumed = resume_latest(ckpt_dir, host_zeros_like(state), logger=logger)
+    if resumed is not None:
+        state = resumed["state"]
+        start_epoch = int(resumed["meta"]["epoch"])
+        if resumed.get("sampler") is not None:
+            dataset.set_confidence_groups(resumed["sampler"]["confidence_groups"])
+
+    fmap_hw = (int(grid[1]), int(grid[0]))
+    step = jax.jit(make_train_step(net, cfg.MODEL, list(cfg.CLASS_NAMES), meta, tx, fmap_hw))
+
+    mesh = make_mesh() if n_devices > 1 else None
+    if mesh is not None:
+        state = replicate_state(state, mesh)
+
+    logger.info("start training: %d epochs x %d steps, global batch %d",
+                epochs, steps_per_epoch, global_batch)
+    state, it = train_model(
+        step, state, loader, epochs,
+        ckpt_dir=ckpt_dir, logger=logger, start_epoch=start_epoch,
+        ckpt_save_interval=args.ckpt_save_interval,
+        max_ckpt_save_num=args.max_ckpt_save_num, mesh=mesh, batch_keys=bkeys,
+    )
+    logger.info("training done: %d iterations", it)
+
+
+if __name__ == "__main__":
+    main()
