@@ -16,6 +16,7 @@ from .layers import ConvBNReLU
 class BaseBEVBackbone(nn.Module):
     model_cfg: dict
     input_channels: int
+    dtype: object = None
 
     @nn.compact
     def __call__(self, batch, train: bool = True):
@@ -25,27 +26,33 @@ class BaseBEVBackbone(nn.Module):
         filters = list(cfg.get("NUM_FILTERS", []))
         up_strides = list(cfg.get("UPSAMPLE_STRIDES", []))
         up_filters = list(cfg.get("NUM_UPSAMPLE_FILTERS", []))
+        dt = self.dtype
 
         x = batch["spatial_features"]
+        if dt is not None:
+            x = x.astype(dt)
         ups = []
         for i, (ln, st, nf) in enumerate(zip(layer_nums, strides, filters)):
-            x = ConvBNReLU(nf, kernel=3, stride=st)(x, train)
+            x = ConvBNReLU(nf, kernel=3, stride=st, dtype=dt)(x, train)
             for _ in range(ln):
-                x = ConvBNReLU(nf, kernel=3, stride=1)(x, train)
+                x = ConvBNReLU(nf, kernel=3, stride=1, dtype=dt)(x, train)
             if i < len(up_strides):
                 us = up_strides[i]
                 if us > 1:
                     u = nn.ConvTranspose(
-                        up_filters[i], (us, us), strides=(us, us), use_bias=False
+                        up_filters[i], (us, us), strides=(us, us), use_bias=False,
+                        dtype=dt,
                     )(x)
                 elif us == 1:
-                    u = nn.Conv(up_filters[i], (1, 1), use_bias=False)(x)
+                    u = nn.Conv(up_filters[i], (1, 1), use_bias=False, dtype=dt)(x)
                 else:  # us < 1 encoded as stride 1/|us| downsample conv
                     ds = int(round(1 / us))
                     u = nn.Conv(
-                        up_filters[i], (ds, ds), strides=(ds, ds), use_bias=False
+                        up_filters[i], (ds, ds), strides=(ds, ds), use_bias=False,
+                        dtype=dt,
                     )(x)
-                u = nn.BatchNorm(use_running_average=not train, momentum=0.99, epsilon=1e-3)(u)
+                u = nn.BatchNorm(use_running_average=not train, momentum=0.99,
+                                 epsilon=1e-3, dtype=dt)(u)
                 u = nn.relu(u)
                 ups.append(u)
         if len(ups) > 1:
@@ -56,8 +63,10 @@ class BaseBEVBackbone(nn.Module):
         # len(UPSAMPLE_STRIDES) > len(LAYER_NUMS))
         if len(up_strides) > len(layer_nums):
             us = up_strides[-1]
-            x = nn.ConvTranspose(up_filters[-1], (us, us), strides=(us, us), use_bias=False)(x)
-            x = nn.BatchNorm(use_running_average=not train, momentum=0.99, epsilon=1e-3)(x)
+            x = nn.ConvTranspose(up_filters[-1], (us, us), strides=(us, us),
+                                 use_bias=False, dtype=dt)(x)
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.99,
+                             epsilon=1e-3, dtype=dt)(x)
             x = nn.relu(x)
         batch["spatial_features_2d"] = x
         return batch

@@ -24,6 +24,7 @@ class SeparateHead(nn.Module):
 
     sep_head_dict: dict
     init_bias: float = -2.19
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -31,7 +32,8 @@ class SeparateHead(nn.Module):
         for name, spec in self.sep_head_dict.items():
             h = x
             for _ in range(spec["num_conv"] - 1):
-                h = ConvBNReLU(x.shape[-1], kernel=3, name=f"{name}_conv{_}")(h, train)
+                h = ConvBNReLU(x.shape[-1], kernel=3, dtype=self.dtype,
+                               name=f"{name}_conv{_}")(h, train)
             bias_init = (
                 nn.initializers.constant(self.init_bias)
                 if name == "hm"
@@ -43,9 +45,10 @@ class SeparateHead(nn.Module):
                 padding="SAME",
                 use_bias=True,
                 bias_init=bias_init,
+                dtype=self.dtype,
                 name=f"{name}_out",
             )(h)
-            out[name] = h
+            out[name] = h.astype(jnp.float32)  # losses/decoding in f32
         return out
 
 
@@ -68,11 +71,13 @@ class CenterHead(nn.Module):
 
     @nn.compact
     def __call__(self, batch, train: bool = True):
+        dt = jnp.bfloat16 if self.model_cfg.get("MIXED_PRECISION", False) else None
         x = batch["spatial_features_2d"]
         x = ConvBNReLU(
             self.model_cfg["SHARED_CONV_CHANNEL"],
             kernel=3,
             use_bias=self.model_cfg.get("USE_BIAS_BEFORE_NORM", False),
+            dtype=dt,
             name="shared_conv",
         )(x, train)
 
@@ -84,7 +89,7 @@ class CenterHead(nn.Module):
                 "out_channels": len(class_ids),
                 "num_conv": self.model_cfg.get("NUM_HM_CONV", 2),
             }
-            pred_dicts.append(SeparateHead(sep, name=f"head_{idx}")(x, train))
+            pred_dicts.append(SeparateHead(sep, dtype=dt, name=f"head_{idx}")(x, train))
         batch["pred_dicts"] = pred_dicts
         return batch
 

@@ -7,7 +7,6 @@ modules communicating through a batch dict of fixed-shape arrays.
 """
 from __future__ import annotations
 
-from dataclasses import field
 from typing import Any
 
 from flax import linen as nn
@@ -49,6 +48,8 @@ class Detector3D(nn.Module):
         cfg = self.model_cfg.get("VFE")
         if cfg is None:
             return None
+        if self.model_cfg.get("MIXED_PRECISION", False) and "MIXED_PRECISION" not in cfg:
+            cfg = dict(cfg, MIXED_PRECISION=True)
         cls = VFES.get(cfg["NAME"])
         kw = dict(model_cfg=cfg, num_point_features=self.meta.num_point_features)
         if cfg["NAME"] != "MeanVFE":
@@ -74,7 +75,11 @@ class Detector3D(nn.Module):
         cfg = self.model_cfg.get("BACKBONE_2D")
         if cfg is None:
             return None
-        return BACKBONES_2D.get(cfg["NAME"])(model_cfg=cfg, input_channels=in_ch)
+        import jax.numpy as jnp
+
+        dt = jnp.bfloat16 if self.model_cfg.get("MIXED_PRECISION", False) else None
+        return BACKBONES_2D.get(cfg["NAME"])(model_cfg=cfg, input_channels=in_ch,
+                                             dtype=dt)
 
     def _build_backbone3d(self):
         cfg = self.model_cfg.get("BACKBONE_3D")
@@ -92,6 +97,8 @@ class Detector3D(nn.Module):
         cfg = self.model_cfg.get("DENSE_HEAD")
         if cfg is None:
             return None
+        if self.model_cfg.get("MIXED_PRECISION", False) and "MIXED_PRECISION" not in cfg:
+            cfg = dict(cfg, MIXED_PRECISION=True)
         return DENSE_HEADS.get(cfg["NAME"])(
             model_cfg=cfg,
             input_channels=0,  # inferred from inputs (NHWC)

@@ -59,12 +59,17 @@ class MaskedBatchNorm(nn.Module):
 
 
 class ConvBNReLU(nn.Module):
-    """Conv2D(NHWC) + BN + ReLU, the reference's basic 2D block."""
+    """Conv2D(NHWC) + BN + ReLU, the reference's basic 2D block.
+
+    dtype=bfloat16 runs the conv (the FLOPs) on the MXU in bf16 with f32
+    params and f32 BN statistics — the standard TPU mixed-precision recipe.
+    """
 
     features: int
     kernel: int = 3
     stride: int = 1
     use_bias: bool = False
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -74,8 +79,10 @@ class ConvBNReLU(nn.Module):
             strides=(self.stride, self.stride),
             padding="SAME",
             use_bias=self.use_bias,
+            dtype=self.dtype,
         )(x)
         x = nn.BatchNorm(
-            use_running_average=not train, momentum=0.99, epsilon=1e-3
+            use_running_average=not train, momentum=0.99, epsilon=1e-3,
+            dtype=self.dtype,
         )(x)
         return nn.relu(x)

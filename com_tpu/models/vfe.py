@@ -40,12 +40,13 @@ class MeanVFE(nn.Module):
 class _PFNLayer(nn.Module):
     out_channels: int
     last: bool
+    dtype: object = None
 
     @nn.compact
     def __call__(self, feats, mask, pool_fn, train: bool):
         """feats (..., C) -> pooled or concat features; pool_fn does the max."""
         units = self.out_channels if self.last else self.out_channels // 2
-        x = nn.Dense(units, use_bias=False)(feats)
+        x = nn.Dense(units, use_bias=False, dtype=self.dtype)(feats)
         x = MaskedBatchNorm()(x, mask=mask, use_running_average=not train)
         x = nn.relu(x)
         x = x * mask[..., None].astype(x.dtype)
@@ -185,6 +186,7 @@ class DynamicPillarVFE(nn.Module):
             )
         feats = feats * ones
 
+        dt = jnp.bfloat16 if self.model_cfg.get("MIXED_PRECISION", False) else None
         num_filters = list(self.model_cfg["NUM_FILTERS"])
         pooled = None
         for i, out in enumerate(num_filters):
@@ -192,10 +194,10 @@ class DynamicPillarVFE(nn.Module):
 
             def pool(x):
                 xm = jax.ops.segment_max(x, seg, num_segments=num_segments)
-                xm = jnp.where(jnp.isfinite(xm), xm, 0.0)
+                xm = jnp.where(jnp.isfinite(xm), xm, jnp.zeros((), xm.dtype))
                 return xm, xm[seg]
 
-            pooled, feats = _PFNLayer(out, last)(feats, mflat, pool, train)
+            pooled, feats = _PFNLayer(out, last, dtype=dt)(feats, mflat, pool, train)
 
         # pooled is (B*H*W + 1, C): drop trash row, reshape to the BEV canvas
         c = pooled.shape[-1]
