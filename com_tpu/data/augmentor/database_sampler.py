@@ -189,9 +189,15 @@ class DataBaseSampler:
             sampled = self._sample_for_class(class_name, sample_group)
             if not sampled:
                 continue
+            from ...ops.native import boxes_iou_bev_native
+
             boxes = np.stack([x["box3d_lidar"] for x in sampled]).astype(np.float32)
-            iou1 = boxes_iou_bev(boxes[:, :7], existed[:, :7]) if len(existed) else None
-            iou2 = boxes_iou_bev(boxes[:, :7], boxes[:, :7])
+            iou1 = (
+                boxes_iou_bev_native(boxes[:, :7], existed[:, :7])
+                if len(existed)
+                else None
+            )
+            iou2 = boxes_iou_bev_native(boxes[:, :7], boxes[:, :7])
             np.fill_diagonal(iou2, 0)
             max1 = iou1.max(axis=1) if iou1 is not None and iou1.shape[1] else iou2.max(axis=1)
             keep = (max1 + iou2.max(axis=1)) == 0

@@ -76,8 +76,10 @@ class DataProcessor:
         return data_dict
 
     def transform_points_to_voxels(self, data_dict, cfg):
+        from ..ops.native import voxelize_native
+
         max_voxels = cfg["MAX_NUMBER_OF_VOXELS"][self.mode]
-        voxels, coords, num_points = voxelize_points(
+        voxels, coords, num_points = voxelize_native(
             data_dict["points"],
             self.point_cloud_range,
             self.voxel_size,

@@ -37,15 +37,25 @@ from .centernet import focal_loss_centernet
 
 class CurriculumState(NamedTuple):
     """EMA statistics carried across steps (checkpointed, unlike the reference
-    which silently resets them on resume — SURVEY §5)."""
+    which silently resets them on resume — SURVEY §5).
+
+    mean/std serve the MERGE_SCORES variant (FocalLossCenterCurriculumMerge,
+    loss_utils.py:667-996): EMA of the mean/std of sigmoid scores at positive
+    heatmap pixels, which the reference computes from all_gathered
+    [sum, sum^2, n] — identical numbers fall out of the global batch
+    reductions under pjit."""
 
     avg_confidence: jax.Array  # () f32 EMA of mean positive confidence
+    mean: jax.Array  # () f32 EMA mean of positive-pixel scores
+    std: jax.Array  # () f32 EMA std of positive-pixel scores
     initialized: jax.Array  # () bool — first batch seeds the EMA
 
     @classmethod
     def create(cls):
         return cls(
             avg_confidence=jnp.zeros((), jnp.float32),
+            mean=jnp.zeros((), jnp.float32),
+            std=jnp.zeros((), jnp.float32),
             initialized=jnp.asarray(False),
         )
 
@@ -108,15 +118,39 @@ def focal_loss_center_curriculum(
     fixed_radius = int(cfg.get("RADIUS", 0))
     only_center = bool(cfg.get("CENTER", False))
 
+    merge_scores = bool(cfg.get("MERGE_SCORES", False))
+    offset = float(cfg.get("OFFSET", 0))
+
     gt = targets.heatmaps
     pos_inds = (gt == 1.0).astype(pred_hm.dtype)
     num_obj = pos_inds.sum()
-    batch_avg_conf = jax.lax.stop_gradient(
-        (pred_hm * pos_inds).sum() / jnp.clip(num_obj, 1.0, None)
+    p_pos_sum = jax.lax.stop_gradient((pred_hm * pos_inds).sum())
+    p_pos_sq = jax.lax.stop_gradient((pred_hm * pred_hm * pos_inds).sum())
+    batch_avg_conf = p_pos_sum / jnp.clip(num_obj, 1.0, None)
+    batch_var = jnp.clip(
+        p_pos_sq / jnp.clip(num_obj, 1.0, None) - batch_avg_conf**2, 0.0, None
     )
-    # EMA update (reference seeds from 0.0 and always EMAs; :1225)
+    batch_std = jnp.sqrt(batch_var)
+    # EMA update (reference seeds avg from 0.0 and always EMAs, :1225; the
+    # merge variant seeds mean/std from the first batch, :776-790)
     new_avg = alpha * batch_avg_conf + (1 - alpha) * state.avg_confidence
-    new_state = CurriculumState(avg_confidence=new_avg, initialized=jnp.asarray(True))
+    has = num_obj > 0
+    new_mean = jnp.where(
+        has,
+        jnp.where(state.initialized,
+                  (1 - alpha) * state.mean + alpha * batch_avg_conf, batch_avg_conf),
+        state.mean,
+    )
+    new_std = jnp.where(
+        has,
+        jnp.where(state.initialized,
+                  (1 - alpha) * state.std + alpha * batch_std, batch_std),
+        state.std,
+    )
+    new_state = CurriculumState(
+        avg_confidence=new_avg, mean=new_mean, std=new_std,
+        initialized=state.initialized | has,
+    )
 
     conf_sum, conf_cnt = group_confidences(pred_hm, targets, num_class, num_groups)
 
@@ -124,7 +158,12 @@ def focal_loss_center_curriculum(
     hm_mask = None
     if use_curriculum:
         p = _object_confidences(pred_hm, targets)  # (B, M)
-        threshold = threshold_cfg if fix_threshold else new_avg * threshold_cfg
+        if merge_scores:
+            threshold = new_mean + offset * new_std
+        elif fix_threshold:
+            threshold = threshold_cfg
+        else:
+            threshold = new_avg * threshold_cfg
         if straight:
             weight = k_straight * (p - threshold) + 1.0
         elif tuning:

@@ -76,10 +76,17 @@ def enlarge_box3d(boxes, extra_width=(0.0, 0.0, 0.0), xp=np):
 
 
 def remove_points_in_boxes3d(points: np.ndarray, boxes: np.ndarray) -> np.ndarray:
-    """Host-side carve-out used by GT-paste (box_utils.remove_points_in_boxes3d)."""
+    """Host-side carve-out used by GT-paste (box_utils.remove_points_in_boxes3d).
+
+    Uses the native C++ kernel when built (com_tpu.ops.native)."""
     if len(boxes) == 0 or len(points) == 0:
         return points
-    mask = points_in_rbbox(points[:, :3], boxes[:, :7], xp=np).any(axis=1)
+    try:
+        from .native import points_in_rbbox_native
+
+        mask = points_in_rbbox_native(points, boxes[:, :7]).any(axis=1)
+    except Exception:
+        mask = points_in_rbbox(points[:, :3], boxes[:, :7], xp=np).any(axis=1)
     return points[~mask]
 
 

@@ -1,0 +1,69 @@
+"""Native C++ host ops agree with the numpy implementations."""
+import numpy as np
+import pytest
+
+from com_tpu.ops.native import (
+    boxes_iou_bev_native,
+    get_lib,
+    points_in_rbbox_native,
+    voxelize_native,
+)
+from com_tpu.ops.boxes import points_in_rbbox
+from com_tpu.ops.iou import boxes_iou_bev
+from com_tpu.ops.voxelize import voxelize_points
+
+needs_native = pytest.mark.skipif(get_lib() is None, reason="native lib unavailable")
+
+
+@needs_native
+def test_native_voxelize_matches_numpy():
+    rng = np.random.RandomState(0)
+    pts = rng.uniform(-10, 10, (20000, 5)).astype(np.float32)
+    pts[:, 2] = rng.uniform(0, 2, 20000)
+    args = ([-10, -10, 0, 10, 10, 2], [0.5, 0.5, 2.0], 8, 1000)
+    v1, c1, n1 = voxelize_points(pts, *args)
+    v2, c2, n2 = voxelize_native(pts, *args)
+    np.testing.assert_array_equal(c1, c2)
+    np.testing.assert_array_equal(n1, n2)
+    np.testing.assert_allclose(v1, v2)
+
+
+@needs_native
+def test_native_iou_matches_numpy():
+    rng = np.random.RandomState(1)
+    a = np.concatenate([rng.uniform(-10, 10, (24, 3)), rng.uniform(1, 5, (24, 3)),
+                        rng.uniform(-np.pi, np.pi, (24, 1))], axis=1).astype(np.float32)
+    b = np.concatenate([rng.uniform(-10, 10, (16, 3)), rng.uniform(1, 5, (16, 3)),
+                        rng.uniform(-np.pi, np.pi, (16, 1))], axis=1).astype(np.float32)
+    got = boxes_iou_bev_native(a, b)
+    want = boxes_iou_bev(a, b, xp=np)
+    np.testing.assert_allclose(got, want, atol=2e-3)
+
+
+@needs_native
+def test_native_points_in_rbbox_matches_numpy():
+    rng = np.random.RandomState(2)
+    pts = rng.uniform(-10, 10, (5000, 5)).astype(np.float32)
+    boxes = np.concatenate([rng.uniform(-8, 8, (10, 3)), rng.uniform(1, 6, (10, 3)),
+                            rng.uniform(-np.pi, np.pi, (10, 1))], axis=1).astype(np.float32)
+    got = points_in_rbbox_native(pts, boxes)
+    want = points_in_rbbox(pts[:, :3], boxes, xp=np)
+    np.testing.assert_array_equal(got, want)
+
+
+@needs_native
+def test_native_voxelize_speedup():
+    import time
+
+    rng = np.random.RandomState(3)
+    pts = rng.uniform(-74, 74, (160000, 5)).astype(np.float32)
+    pts[:, 2] = rng.uniform(-1, 3, 160000)
+    args = ([-74.88, -74.88, -2, 74.88, 74.88, 4], [0.32, 0.32, 6.0], 20, 150000)
+    t0 = time.perf_counter()
+    voxelize_native(pts, *args)
+    t_native = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    voxelize_points(pts, *args)
+    t_numpy = time.perf_counter() - t0
+    # native should win comfortably on the waymo-scale input
+    assert t_native < t_numpy, (t_native, t_numpy)
