@@ -126,6 +126,30 @@ class DataAugmentor:
 
         return fn
 
+    def random_local_frustum_dropout(self, config=None, **_):
+        def fn(data_dict):
+            for direction in config.get("DIRECTION", ["top", "bottom", "left", "right"]):
+                gt, pts = transforms.random_local_frustum_dropout(
+                    data_dict["gt_boxes"], data_dict["points"],
+                    config.get("INTENSITY_RANGE", [0.0, 0.2]), direction,
+                    rng=self.rng,
+                )
+                data_dict["gt_boxes"], data_dict["points"] = gt, pts
+            return data_dict
+
+        return fn
+
+    def random_local_sparsify(self, config=None, **_):
+        def fn(data_dict):
+            gt, pts = transforms.random_local_sparsify(
+                data_dict["gt_boxes"], data_dict["points"],
+                config.get("DROP_PROB", 0.2), rng=self.rng,
+            )
+            data_dict["gt_boxes"], data_dict["points"] = gt, pts
+            return data_dict
+
+        return fn
+
     @property
     def gt_sampler(self):
         """The gt_sampling step if present (for curriculum feedback wiring)."""

@@ -89,6 +89,56 @@ def random_local_scaling(gt_boxes, points, scale_range, rng=np.random):
     return gt_boxes, points
 
 
+def random_local_frustum_dropout(gt_boxes, points, intensity_range, direction,
+                                 rng=np.random):
+    """Drop points in a random frustum slice of each box
+    (augmentor_utils local_frustum_dropout_* role)."""
+    for i in range(len(gt_boxes)):
+        x, y, z, dx, dy, dz = gt_boxes[i, :6]
+        intensity = rng.uniform(intensity_range[0], intensity_range[1])
+        if direction == "top":
+            thresh = z + dz / 2 - intensity * dz
+            keep = ~(
+                points_in_rbbox(points[:, :3], gt_boxes[i : i + 1, :7])[:, 0]
+                & (points[:, 2] >= thresh)
+            )
+        elif direction == "bottom":
+            thresh = z - dz / 2 + intensity * dz
+            keep = ~(
+                points_in_rbbox(points[:, :3], gt_boxes[i : i + 1, :7])[:, 0]
+                & (points[:, 2] <= thresh)
+            )
+        elif direction == "left":
+            thresh = y + dy / 2 - intensity * dy
+            keep = ~(
+                points_in_rbbox(points[:, :3], gt_boxes[i : i + 1, :7])[:, 0]
+                & (points[:, 1] >= thresh)
+            )
+        else:  # right
+            thresh = y - dy / 2 + intensity * dy
+            keep = ~(
+                points_in_rbbox(points[:, :3], gt_boxes[i : i + 1, :7])[:, 0]
+                & (points[:, 1] <= thresh)
+            )
+        points = points[keep]
+    return gt_boxes, points
+
+
+def random_local_sparsify(gt_boxes, points, drop_prob, rng=np.random):
+    """Randomly drop a fraction of each object's points
+    (local pyramid sparsify role)."""
+    for i in range(len(gt_boxes)):
+        inside = points_in_rbbox(points[:, :3], gt_boxes[i : i + 1, :7])[:, 0]
+        idx = np.where(inside)[0]
+        if len(idx) == 0:
+            continue
+        drop = idx[rng.rand(len(idx)) < drop_prob]
+        keep = np.ones(len(points), bool)
+        keep[drop] = False
+        points = points[keep]
+    return gt_boxes, points
+
+
 def random_local_translation(gt_boxes, points, offset_range, axes, rng=np.random):
     for i in range(len(gt_boxes)):
         mask = points_in_rbbox(points[:, :3], gt_boxes[i : i + 1, :7])[:, 0]

@@ -80,12 +80,49 @@ class WaymoDataset(DatasetTemplate):
             points = points[nlz == -1]
         return points.astype(np.float32)
 
+    def get_sequence_data(self, info, points, seq, sample_idx, sequence_cfg):
+        """Multi-frame fusion: past sweeps re-projected into the current frame
+        via pose matrices, with a per-point relative-timestamp feature
+        (waymo_dataset.py:253-339 role)."""
+        lo, hi = sequence_cfg["SAMPLE_OFFSET"]
+        pose_cur = np.asarray(info["pose"], np.float64).reshape(4, 4)
+        pose_cur_inv = np.linalg.inv(pose_cur)
+        all_points = [np.concatenate(
+            [points, np.zeros((len(points), 1), np.float32)], axis=1)]
+        idx_by_sample = getattr(self, "_seq_index", None)
+        if idx_by_sample is None:
+            self._seq_index = {}
+            for i, inf in enumerate(self.infos):
+                pc = inf["point_cloud"]
+                self._seq_index[(pc["lidar_sequence"], pc["sample_idx"])] = i
+            idx_by_sample = self._seq_index
+        for off in range(int(lo), int(hi)):
+            past_idx = idx_by_sample.get((seq, sample_idx + off))
+            if past_idx is None:
+                continue
+            past_info = self.infos[past_idx]
+            past_pts = self.get_lidar(seq, sample_idx + off)
+            pose_past = np.asarray(past_info["pose"], np.float64).reshape(4, 4)
+            rel = pose_cur_inv @ pose_past
+            hom = np.concatenate(
+                [past_pts[:, :3], np.ones((len(past_pts), 1))], axis=1
+            )
+            xyz = (hom @ rel.T)[:, :3].astype(np.float32)
+            ts = np.full((len(past_pts), 1), 0.1 * off, np.float32)
+            all_points.append(
+                np.concatenate([xyz, past_pts[:, 3:], ts], axis=1)
+            )
+        return np.concatenate(all_points, axis=0)
+
     def __getitem__(self, index):
         self._reseed_for_item(index)
         info = self.infos[index]
         pc_info = info["point_cloud"]
         seq, sample_idx = pc_info["lidar_sequence"], pc_info["sample_idx"]
         points = self.get_lidar(seq, sample_idx)
+        seq_cfg = self.dataset_cfg.get("SEQUENCE_CONFIG")
+        if seq_cfg and seq_cfg.get("ENABLED", False) and "pose" in info:
+            points = self.get_sequence_data(info, points, seq, sample_idx, seq_cfg)
 
         data = {"points": points, "frame_id": info.get("frame_id", f"{seq}_{sample_idx}")}
         if "annos" in info:

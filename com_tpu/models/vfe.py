@@ -161,10 +161,31 @@ class DynamicPillarVFE(nn.Module):
 
         xyz = points[..., :3].reshape(-1, 3)
         mflat = pmask.reshape(-1)
+        flat = flat.reshape(-1)
+
+        # optional: sort points by pillar id once so segment reductions run
+        # with indices_are_sorted=True.  Measured on v5e this LOSES ~4% (the
+        # argsort + reorder gathers cost more than the sorted-scatter saves),
+        # so it defaults off; kept as a knob for other TPU generations.
+        sort_points = bool(self.model_cfg.get("SORT_POINTS", False))
+        if sort_points:
+            order = jnp.argsort(seg)
+            seg = seg[order]
+            xyz = xyz[order]
+            mflat = mflat[order]
+            flat = flat[order]
+            pfeats = points[..., 3:].reshape(b * n, -1)[order]
+        else:
+            pfeats = points[..., 3:].reshape(b * n, -1)
+
+        def seg_sum(x):
+            return jax.ops.segment_sum(
+                x, seg, num_segments=num_segments, indices_are_sorted=sort_points
+            )
 
         ones = mflat.astype(points.dtype)[:, None]
-        cnt = jax.ops.segment_sum(ones, seg, num_segments=num_segments)
-        mean = jax.ops.segment_sum(xyz * ones, seg, num_segments=num_segments)
+        cnt = seg_sum(ones)
+        mean = seg_sum(xyz * ones)
         mean = mean / jnp.clip(cnt, 1.0, None)
         cluster_mean = mean[seg]
 
@@ -175,7 +196,7 @@ class DynamicPillarVFE(nn.Module):
 
         feats = decorate_points(
             xyz,
-            points[..., 3:].reshape(b * n, -1),
+            pfeats,
             center,
             cluster_mean,
             self.model_cfg.get("USE_ABSLOTE_XYZ", True),
@@ -193,7 +214,10 @@ class DynamicPillarVFE(nn.Module):
             last = i == len(num_filters) - 1
 
             def pool(x):
-                xm = jax.ops.segment_max(x, seg, num_segments=num_segments)
+                xm = jax.ops.segment_max(
+                    x, seg, num_segments=num_segments,
+                    indices_are_sorted=sort_points,
+                )
                 xm = jnp.where(jnp.isfinite(xm), xm, jnp.zeros((), xm.dtype))
                 return xm, xm[seg]
 

@@ -1,0 +1,61 @@
+"""Checkpoint roundtrip: save -> resume-latest restores state + sampler conf,
+prunes old checkpoints, survives a corrupted newest checkpoint."""
+import shutil
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from com_tpu.losses.curriculum import CurriculumState
+from com_tpu.train.state import TrainState
+from com_tpu.utils.checkpoint import _ckpt_dirs, resume_latest, save_checkpoint
+from com_tpu.utils.transfer import host_zeros_like
+
+
+def make_state(seed=0):
+    params = {"w": jnp.asarray(np.random.RandomState(seed).randn(4, 4), jnp.float32),
+              "b": jnp.zeros((4,))}
+    tx = optax.adam(1e-3)
+    return TrainState.create({"params": params}, tx, num_head_groups=1,
+                             conf_shape=(3, 96)), tx
+
+
+def test_roundtrip_and_prune(tmp_path):
+    state, tx = make_state()
+    state = state.replace(step=jnp.asarray(7, jnp.int32),
+                          curriculum=(CurriculumState(
+                              avg_confidence=jnp.asarray(0.25),
+                              mean=jnp.asarray(0.5), std=jnp.asarray(0.1),
+                              initialized=jnp.asarray(True)),))
+    sampler_state = {"confidence_groups": np.arange(288, dtype=np.float32).reshape(3, 96)}
+    for epoch in range(1, 5):
+        save_checkpoint(jax.device_get(state), tmp_path, epoch, epoch * 100,
+                        sampler_state=sampler_state, max_ckpt_save_num=2)
+    # pruned to 2 newest
+    assert [e for e, _ in _ckpt_dirs(tmp_path)] == [3, 4]
+
+    payload = resume_latest(tmp_path, host_zeros_like(jax.device_get(state)))
+    assert payload is not None
+    assert int(payload["meta"]["epoch"]) == 4
+    rs = payload["state"]
+    got_w = rs.params["w"] if hasattr(rs, "params") else rs["params"]["w"]
+    np.testing.assert_allclose(np.asarray(got_w), np.asarray(state.params["w"]))
+    cur = rs.curriculum[0] if hasattr(rs, "curriculum") else rs["curriculum"][0]
+    avg = cur.avg_confidence if hasattr(cur, "avg_confidence") else cur["avg_confidence"]
+    assert abs(float(avg) - 0.25) < 1e-6
+    np.testing.assert_allclose(payload["sampler"]["confidence_groups"],
+                               sampler_state["confidence_groups"])
+
+
+def test_resume_skips_corrupted(tmp_path):
+    state, _ = make_state()
+    save_checkpoint(jax.device_get(state), tmp_path, 1, 100)
+    save_checkpoint(jax.device_get(state), tmp_path, 2, 200)
+    # corrupt the newest
+    newest = dict(_ckpt_dirs(tmp_path))[2]
+    shutil.rmtree(newest)
+    newest.mkdir()
+    (newest / "garbage").write_text("not a checkpoint")
+    payload = resume_latest(tmp_path, host_zeros_like(jax.device_get(state)))
+    assert payload is not None and int(payload["meta"]["epoch"]) == 1

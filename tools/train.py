@@ -26,8 +26,17 @@ def parse_config():
     parser.add_argument("--ckpt_save_interval", type=int, default=1)
     parser.add_argument("--max_ckpt_save_num", type=int, default=50)
     parser.add_argument("--output_dir", type=str, default=None)
+    parser.add_argument("--multihost", action="store_true",
+                        help="initialize jax.distributed (TPU pod slices / "
+                             "multi-host; replaces the reference's "
+                             "dist_train.sh NCCL launch)")
     parser.add_argument("--set", dest="set_cfgs", default=None, nargs=argparse.REMAINDER)
     args = parser.parse_args()
+
+    if args.multihost:
+        import jax
+
+        jax.distributed.initialize()
 
     from com_tpu.utils.config import CfgNode, cfg_from_list, cfg_from_yaml_file
 
@@ -134,6 +143,30 @@ def main():
     if mesh is not None:
         state = replicate_state(state, mesh)
 
+    from com_tpu.utils.metrics import MetricsLogger
+
+    mlog = MetricsLogger(out_dir / "metrics")
+    log_every = 50
+
+    from com_tpu.utils.transfer import fast_device_get
+
+    import jax.numpy as jnp
+
+    # precompute the whole LR curve in one device call (per-step eager
+    # schedule evaluation would round-trip the tunnel every log)
+    lr_table = np.asarray(
+        jax.jit(jax.vmap(lr_fn))(jnp.arange(steps_per_epoch * epochs))
+    )
+
+    def metric_hook(epoch, it, metrics):
+        if it % log_every == 0:
+            step_idx = epoch * steps_per_epoch + it
+            scalars = {k: v for k, v in metrics.items()
+                       if getattr(v, "ndim", 1) == 0}
+            scalars = fast_device_get(scalars)  # one packed transfer
+            scalars["lr"] = lr_table[min(step_idx, len(lr_table) - 1)]
+            mlog.log(step_idx, scalars)
+
     logger.info("start training: %d epochs x %d steps, global batch %d",
                 epochs, steps_per_epoch, global_batch)
     state, it = train_model(
@@ -141,7 +174,9 @@ def main():
         ckpt_dir=ckpt_dir, logger=logger, start_epoch=start_epoch,
         ckpt_save_interval=args.ckpt_save_interval,
         max_ckpt_save_num=args.max_ckpt_save_num, mesh=mesh, batch_keys=bkeys,
+        metric_hook=metric_hook,
     )
+    mlog.close()
     logger.info("training done: %d iterations", it)
 
 
