@@ -22,6 +22,7 @@ from ..utils.registry import (
 from . import backbone2d as _b2  # noqa: F401 (register)
 from . import backbone3d as _b3  # noqa: F401
 from . import map_to_bev as _mb  # noqa: F401
+from . import pfe as _pfe  # noqa: F401
 from . import vfe as _vfe  # noqa: F401
 from . import dense_heads as _dh  # noqa: F401
 
@@ -142,6 +143,104 @@ class PointPillar(Detector3D):
 @DETECTORS.register
 class SECONDNet(Detector3D):
     """SECOND (detectors/second_net.py parity) — sparse 3D voxel backbone."""
+
+
+@DETECTORS.register
+class PVRCNN(Detector3D):
+    """PV-RCNN (detectors/pv_rcnn.py parity): two-stage — the dense head's
+    decoded boxes become RoIs (predict_boxes_when_training,
+    detector3d_template.py:135), VoxelSetAbstraction keypoints feed RoI-grid
+    pooling, and the RCNN head refines.  RoI sampling happens in-module during
+    training (it needs gt_boxes); the losses read batch["roi_targets"]."""
+
+    def _build_pfe(self):
+        cfg = self.model_cfg.get("PFE")
+        if cfg is None:
+            return None
+        return BACKBONES_3D.get(cfg["NAME"])(
+            model_cfg=cfg,
+            input_channels=self.meta.num_point_features,
+            grid_size=self.meta.grid_size,
+            voxel_size=self.meta.voxel_size,
+            point_cloud_range=self.meta.point_cloud_range,
+        )
+
+    def _build_roi_head(self):
+        from ..utils.registry import ROI_HEADS
+        from . import roi_heads as _rh  # noqa: F401 (register)
+
+        cfg = self.model_cfg.get("ROI_HEAD")
+        if cfg is None:
+            return None
+        return ROI_HEADS.get(cfg["NAME"])(model_cfg=cfg, num_class=1)
+
+    def _proposals(self, batch, train: bool):
+        """Decode first-stage boxes into fixed-size proposals (train: top-P by
+        score; eval: same — NMS runs in post-processing after refinement)."""
+        import jax
+        import jax.numpy as jnp
+
+        from ..ops.boxes import ResidualCoder
+        from .dense_heads.anchor_head import build_anchors, decode_anchor_boxes
+
+        head_cfg = self.model_cfg["DENSE_HEAD"]
+        nms_cfg = self.model_cfg.get("ROI_HEAD", {}).get("NMS_CONFIG", {})
+        num_p = int(nms_cfg.get("TRAIN_PRE" if train else "TEST_PRE", 512))
+        anchors_flat, _, _, _, _ = build_anchors(
+            head_cfg, list(self.meta.class_names), self.meta.grid_size,
+            self.meta.point_cloud_range,
+        )
+        boxes, scores, labels = decode_anchor_boxes(
+            batch, jnp.asarray(anchors_flat), None,
+            len(self.meta.class_names), ResidualCoder(),
+            dir_cfg=head_cfg if head_cfg.get("USE_DIRECTION_CLASSIFIER") else None,
+        )
+        boxes = jax.lax.stop_gradient(boxes)
+        scores = jax.lax.stop_gradient(scores)
+        top, idx = jax.lax.top_k(scores, num_p)
+        take = jax.vmap(lambda a, i: a[i])
+        return take(boxes, idx), top, take(labels, idx)
+
+    @nn.compact
+    def __call__(self, batch, train: bool = True):
+        batch = self._build_vfe()(batch, train)
+        batch = self._build_backbone3d()(batch, train)
+        if "spatial_features" not in batch:
+            batch = self._build_map_to_bev()(batch, train)
+        batch = self._build_pfe()(batch, train)
+        batch = self._build_backbone2d(batch["spatial_features"].shape[-1])(batch, train)
+        batch = self._build_dense_head()(batch, train)
+
+        rois, roi_scores, roi_labels = self._proposals(batch, train)
+        if train and "gt_boxes" in batch:
+            import jax.numpy as jnp
+
+            from .roi_heads.roi_targets import assign_roi_targets
+
+            roi_cfg = self.model_cfg.get("ROI_HEAD", {}).get("TARGET_CONFIG", {})
+            targets = assign_roi_targets(
+                rois, roi_scores, roi_labels,
+                jnp.ones(rois.shape[:2], bool), batch["gt_boxes"],
+                roi_per_image=int(roi_cfg.get("ROI_PER_IMAGE", 128)),
+                fg_ratio=float(roi_cfg.get("FG_RATIO", 0.5)),
+                reg_fg_thresh=float(roi_cfg.get("REG_FG_THRESH", 0.55)),
+                cls_fg_thresh=float(roi_cfg.get("CLS_FG_THRESH", 0.75)),
+                cls_bg_thresh=float(roi_cfg.get("CLS_BG_THRESH", 0.25)),
+            )
+            batch["roi_targets"] = targets
+            batch["rois"] = targets.rois
+        else:
+            k = int(self.model_cfg.get("ROI_HEAD", {}).get("NMS_CONFIG", {})
+                    .get("TEST_POST", 128))
+            import jax
+
+            top, idx = jax.lax.top_k(roi_scores, k)
+            take = jax.vmap(lambda a, i: a[i])
+            batch["rois"] = take(rois, idx)
+            batch["roi_scores"] = top
+            batch["roi_labels"] = take(roi_labels, idx)
+        batch = self._build_roi_head()(batch, train)
+        return batch
 
 
 def build_network(model_cfg, meta: DatasetMeta):

@@ -1,0 +1,87 @@
+"""PV-RCNN second stage: RoI-grid pooling over keypoints + refinement head.
+
+Role of pcdet/models/roi_heads/pvrcnn_head.py:8-175 (RoI-grid pooling via
+pointnet2_stack) re-expressed with the jittable pointnet2 ops: each RoI hosts
+a GRID_SIZE^3 lattice of grid points; each grid point ball-queries the VSA
+keypoints; a mini PointNet pools neighbors; flattened grid features feed
+shared FCs and cls/reg branches.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ...ops import pointnet2 as pn2
+from ...utils.registry import ROI_HEADS
+from ..layers import MaskedBatchNorm
+from ..pfe import PointNetBlock
+
+
+def roi_grid_points(rois, grid_size: int):
+    """(R, 7) rois -> (R, G^3, 3) world-frame grid point coordinates."""
+    g = grid_size
+    idx = np.stack(np.meshgrid(*([np.arange(g)] * 3), indexing="ij"), -1).reshape(-1, 3)
+    frac = jnp.asarray((idx + 0.5) / g - 0.5, jnp.float32)  # (-0.5, 0.5)
+    local = frac[None, :, :] * rois[:, None, 3:6]
+    cos, sin = jnp.cos(rois[:, 6]), jnp.sin(rois[:, 6])
+    x = local[..., 0] * cos[:, None] - local[..., 1] * sin[:, None]
+    y = local[..., 0] * sin[:, None] + local[..., 1] * cos[:, None]
+    out = jnp.stack([x, y, local[..., 2]], axis=-1)
+    return out + rois[:, None, :3]
+
+
+@ROI_HEADS.register
+class PVRCNNHead(nn.Module):
+    model_cfg: dict
+    num_class: int = 1
+
+    @nn.compact
+    def __call__(self, batch, train: bool = True):
+        cfg = self.model_cfg
+        grid_size = int(cfg.get("ROI_GRID_POOL", {}).get("GRID_SIZE", 6))
+        radius = float(cfg.get("ROI_GRID_POOL", {}).get("RADIUS", 0.8))
+        nsample = int(cfg.get("ROI_GRID_POOL", {}).get("NSAMPLE", 16))
+        mlps = tuple(cfg.get("ROI_GRID_POOL", {}).get("MLPS", [[64, 64]])[0])
+        fc_sizes = list(cfg.get("SHARED_FC", [256, 256]))
+        code_size = 7
+
+        rois = batch["rois"]  # (B, R, 7)
+        kp = batch["point_coords"]  # (B, S, 3)
+        kp_feats = batch["point_features"]  # (B, S, C)
+        kp_valid = batch.get("point_valid")
+        b, r = rois.shape[:2]
+
+        block = PointNetBlock(mlps, name="roi_grid_pointnet")
+
+        def pool_one(roi, kpts, kfeat, kvalid):
+            grid = roi_grid_points(roi, grid_size)  # (R, G3, 3)
+            g3 = grid.shape[1]
+            grouped, idx, empty = pn2.query_and_group(
+                radius, nsample, kpts, grid.reshape(-1, 3), kfeat, valid=kvalid
+            )
+            return grouped, empty
+
+        grouped, empty = jax.vmap(pool_one)(rois, kp, kp_feats, kp_valid)
+        gshape = grouped.shape  # (B, R*G3, K, C)
+        pooled = block(grouped.reshape(-1, *gshape[2:]), empty.reshape(-1), train)
+        g3 = grid_size**3
+        pooled = pooled.reshape(b, r, g3 * pooled.shape[-1])
+
+        x = pooled
+        for i, ch in enumerate(fc_sizes):
+            x = nn.Dense(ch, use_bias=False, name=f"shared_fc_{i}")(x)
+            x = MaskedBatchNorm(name=f"shared_bn_{i}")(
+                x, use_running_average=not train
+            )
+            x = nn.relu(x)
+        batch["rcnn_cls"] = nn.Dense(self.num_class, name="rcnn_cls")(x)[..., 0]
+        batch["rcnn_reg"] = nn.Dense(code_size, name="rcnn_reg")(x)
+        return batch
+
+
+@ROI_HEADS.register
+class VoxelRCNNHead(PVRCNNHead):
+    """Voxel-RCNN style head; uses the same keypoint grid pooling here (the
+    reference pools from voxel queries — functional role preserved)."""

@@ -1,0 +1,110 @@
+"""RoI target assignment — fixed-shape, jittable.
+
+Role of pcdet/models/roi_heads/target_assigner/proposal_target_layer.py +
+RoIHeadTemplate target/loss plumbing (roi_head_template.py:11-261): match
+first-stage proposals to GT by rotated 3D IoU, pick a fixed fg/bg mix, emit
+IoU-derived soft classification labels and canonical-frame regression targets.
+
+Deviation by design: the reference subsamples fg/bg *randomly* per batch; here
+selection is deterministic (top-IoU foregrounds, then hardest backgrounds) so
+the step stays a pure function of (state, batch).  The fg/bg ratio and
+thresholds match.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ...ops.iou import boxes_iou3d
+
+
+def _limit_period(val, offset, period):
+    return val - jnp.floor(val / period + offset) * period
+
+
+class RoITargets(NamedTuple):
+    rois: jax.Array  # (B, R, 7)
+    roi_valid: jax.Array  # (B, R)
+    roi_scores: jax.Array  # (B, R)
+    roi_labels: jax.Array  # (B, R) int32
+    gt_iou: jax.Array  # (B, R) max IoU vs GT
+    cls_labels: jax.Array  # (B, R) soft iou labels in [0,1], -1 = ignore
+    reg_targets: jax.Array  # (B, R, 7) canonical-frame encodings
+    reg_valid: jax.Array  # (B, R) fg mask
+
+
+def canonical_transform(gt_boxes, rois):
+    """Encode GT in each RoI's canonical frame (roi_head_template reg target)."""
+    cos, sin = jnp.cos(-rois[..., 6]), jnp.sin(-rois[..., 6])
+    dx = gt_boxes[..., 0] - rois[..., 0]
+    dy = gt_boxes[..., 1] - rois[..., 1]
+    lx = dx * cos - dy * sin
+    ly = dx * sin + dy * cos
+    lz = gt_boxes[..., 2] - rois[..., 2]
+    heading = _limit_period(gt_boxes[..., 6] - rois[..., 6], 0.5, 2 * jnp.pi)
+    return jnp.stack(
+        [lx, ly, lz,
+         gt_boxes[..., 3] - rois[..., 3],
+         gt_boxes[..., 4] - rois[..., 4],
+         gt_boxes[..., 5] - rois[..., 5],
+         heading],
+        axis=-1,
+    )
+
+
+def assign_roi_targets(
+    rois,  # (B, P, 7) proposals
+    roi_scores,  # (B, P)
+    roi_labels,  # (B, P) int32
+    roi_valid,  # (B, P)
+    gt_boxes,  # (B, M, 8)
+    roi_per_image: int = 128,
+    fg_ratio: float = 0.5,
+    reg_fg_thresh: float = 0.55,
+    cls_fg_thresh: float = 0.75,
+    cls_bg_thresh: float = 0.25,
+) -> RoITargets:
+    fg_cap = int(roi_per_image * fg_ratio)
+
+    def per_sample(roi, score, label, valid, gt):
+        gt_valid = gt[:, -1] > 0
+        iou = boxes_iou3d(roi[:, :7], gt[:, :7], xp=jnp)
+        iou = jnp.where(gt_valid[None, :] & valid[:, None], iou, 0.0)
+        # class-aware matching: only count GT of the same class
+        same = label[:, None] == gt[None, :, -1].astype(jnp.int32)
+        iou = jnp.where(same, iou, 0.0)
+        max_iou = iou.max(axis=1)
+        gt_idx = iou.argmax(axis=1)
+
+        is_fg = (max_iou >= reg_fg_thresh) & valid
+        # deterministic selection: fg by IoU desc, then bg by score desc
+        fg_key = jnp.where(is_fg, max_iou, -1.0)
+        fg_rank = jnp.argsort(-fg_key)
+        bg_key = jnp.where(~is_fg & valid, score, -1.0)
+        bg_rank = jnp.argsort(-bg_key)
+        sel = jnp.concatenate(
+            [fg_rank[:fg_cap], bg_rank[: roi_per_image - fg_cap]]
+        )
+        sel_valid = jnp.concatenate(
+            [fg_key[fg_rank[:fg_cap]] >= 0, bg_key[bg_rank[: roi_per_image - fg_cap]] >= 0]
+        )
+
+        sroi = roi[sel]
+        siou = max_iou[sel]
+        sgt = gt[gt_idx[sel]]
+        sfg = is_fg[sel] & sel_valid
+
+        # iou-derived soft cls labels (roi_head_template CLS_SCORE_TYPE roi_iou)
+        cls = (siou - cls_bg_thresh) / (cls_fg_thresh - cls_bg_thresh)
+        cls = jnp.clip(cls, 0.0, 1.0)
+        cls = jnp.where(siou >= cls_fg_thresh, 1.0, cls)
+        cls = jnp.where(siou <= cls_bg_thresh, 0.0, cls)
+        cls = jnp.where(sel_valid, cls, -1.0)
+
+        reg = canonical_transform(sgt[:, :7], sroi[:, :7])
+        return (sroi, sel_valid, score[sel], label[sel], siou, cls, reg, sfg)
+
+    outs = jax.vmap(per_sample)(rois, roi_scores, roi_labels, roi_valid, gt_boxes)
+    return RoITargets(*outs)

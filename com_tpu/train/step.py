@@ -269,6 +269,30 @@ def compute_anchor_loss(batch, model_cfg, class_names, meta, curriculum_states, 
     return total, tuple(aux_states), [aux], tb
 
 
+def compute_roi_loss(batch, model_cfg):
+    """Second-stage losses (roi_head_template.py:150-261 role): BCE on the
+    IoU-derived soft cls labels + smooth-L1 on canonical-frame reg targets
+    for foreground RoIs."""
+    from ..losses.anchor_losses import sigmoid_ce_with_logits, weighted_smooth_l1
+
+    lw = model_cfg.get("ROI_HEAD", {}).get("LOSS_CONFIG", {}).get(
+        "LOSS_WEIGHTS", {}
+    )
+    t = batch["roi_targets"]
+    cls_logit = batch["rcnn_cls"]  # (B, R)
+    valid = t.cls_labels >= 0
+    labels = jnp.clip(t.cls_labels, 0.0, 1.0)
+    cls_loss = sigmoid_ce_with_logits(cls_logit, labels)
+    cls_loss = (cls_loss * valid).sum() / jnp.clip(valid.sum(), 1.0, None)
+    cls_loss = cls_loss * float(lw.get("rcnn_cls_weight", 1.0))
+
+    fg = t.reg_valid.astype(jnp.float32)
+    reg = weighted_smooth_l1(batch["rcnn_reg"], t.reg_targets, fg)
+    reg_loss = reg.sum() / jnp.clip(fg.sum(), 1.0, None)
+    reg_loss = reg_loss * float(lw.get("rcnn_reg_weight", 1.0))
+    return cls_loss + reg_loss, {"rcnn_loss_cls": cls_loss, "rcnn_loss_reg": reg_loss}
+
+
 def is_anchor_head(model_cfg) -> bool:
     return "ANCHOR_GENERATOR_CONFIG" in model_cfg.get("DENSE_HEAD", {})
 
@@ -284,6 +308,8 @@ def device_batch_keys(model_cfg) -> set:
         keys |= {"points", "points_mask"}
     else:
         keys |= {"voxels", "voxel_coords", "voxel_num_points"}
+    if model_cfg.get("PFE") is not None:  # keypoint abstraction reads raw points
+        keys |= {"points", "points_mask"}
     return keys
 
 
@@ -303,6 +329,10 @@ def make_train_step(net, model_cfg, class_names, meta, tx, fmap_hw):
                 loss, new_cur, aux_list, tb = compute_centerpoint_loss(
                     out, model_cfg, class_names, meta, state.curriculum, epoch, fmap_hw
                 )
+            if "rcnn_cls" in out:  # two-stage: add the refinement losses
+                roi_loss, roi_tb = compute_roi_loss(out, model_cfg)
+                loss = loss + roi_loss
+                tb.update(roi_tb)
             return loss, (mut["batch_stats"], new_cur, aux_list, tb)
 
         (loss, (bs, new_cur, aux_list, tb)), grads = jax.value_and_grad(

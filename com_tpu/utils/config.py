@@ -90,9 +90,8 @@ def cfg_from_yaml_file(cfg_file, config: CfgNode | None = None) -> CfgNode:
     merge_new_config(config, new_config)
     config["TAG"] = Path(cfg_file).stem
     # path of the config relative to a cfgs/ root, e.g. waymo_models/com/xxx
-    parts = Path(cfg_file).resolve().parts
-    exp_group = "/".join(parts[max(0, len(parts) - 3) : -1])
-    config["EXP_GROUP_PATH"] = exp_group
+    parts = [p for p in Path(cfg_file).resolve().parts[:-1] if p != "/"]
+    config["EXP_GROUP_PATH"] = "/".join(parts[-2:])
     return config
 
 
