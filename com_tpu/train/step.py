@@ -74,6 +74,11 @@ def compute_centerpoint_loss(
     is_cur = curriculum_cfg is not None
     num_class, num_groups = conf_shape_for(model_cfg, class_names)
 
+    # the heatmap's own spatial dims are authoritative (fmap_hw argument can
+    # disagree for stride>1 heads, e.g. CenterPoint-voxel at stride 8)
+    hm0 = batch["pred_dicts"][0]["hm"]
+    fmap_hw = (int(hm0.shape[1]), int(hm0.shape[2]))
+
     gt_boxes = batch["gt_boxes"]
     npgt = batch.get("num_points_in_gt", jnp.zeros(gt_boxes.shape[:2]))
     if is_cur and "true_object" in batch:
