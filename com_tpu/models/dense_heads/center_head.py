@@ -169,6 +169,12 @@ def post_process_nms(boxes, scores, labels, valid, nms_cfg, num_out: int):
             sel, sel_valid = circle_nms(
                 bx[:, :2], sc, vd, float(nms_cfg.get("MIN_RADIUS", 4)), post
             )
+        elif nms_type == "fast_nms":
+            from ...ops.nms import fast_nms_bev
+
+            sel, sel_valid = fast_nms_bev(
+                bx, sc, vd, float(nms_cfg["NMS_THRESH"]), post
+            )
         else:
             sel, sel_valid = nms_bev(
                 bx, sc, vd, float(nms_cfg["NMS_THRESH"]), post

@@ -71,6 +71,34 @@ def nms_bev(
     return selected, sel_valid & (jnp.arange(post_max_size) < keep.sum())
 
 
+def fast_nms_bev(
+    boxes: jax.Array,  # (K, 7)
+    scores: jax.Array,  # (K,)
+    valid: jax.Array,  # (K,) bool
+    thresh: float,
+    post_max_size: int,
+):
+    """One-shot NMS (YOLACT-style "fast NMS"): keep a box iff no
+    higher-scoring box overlaps it above thresh.  No sequential loop — one
+    IoU matrix + a row-max — so it compiles and runs much faster than exact
+    greedy NMS; slightly more aggressive (a suppressed box can still suppress
+    others).  Select with NMS_TYPE: fast_nms."""
+    k = boxes.shape[0]
+    neg_inf = jnp.asarray(-jnp.inf, scores.dtype)
+    order = jnp.argsort(jnp.where(valid, scores, neg_inf))[::-1]
+    sb, sv = boxes[order], valid[order]
+    iou = boxes_iou_bev(sb, sb, xp=jnp)
+    upper = jnp.triu(jnp.ones((k, k), bool), 1)  # [i, j]: i higher than j
+    suppressed = ((iou > thresh) & upper & sv[:, None]).any(axis=0)
+    keep = sv & ~suppressed
+    kept_rank = jnp.where(keep, jnp.cumsum(keep) - 1, k)
+    slots = jnp.full((post_max_size,), k, dtype=jnp.int32)
+    slots = slots.at[kept_rank].set(jnp.arange(k, dtype=jnp.int32), mode="drop")
+    sel_valid = slots < k
+    safe = jnp.clip(slots, 0, k - 1)
+    return order[safe], sel_valid
+
+
 def circle_nms(
     centers_xy: jax.Array,  # (K, 2)
     scores: jax.Array,  # (K,)

@@ -68,7 +68,7 @@ def test_centerpoint_voxel_train_step():
     # deliberately pass the WRONG fmap_hw: the loss must use the pred's shape
     step = jax.jit(make_train_step(net, cfg, CLASS_NAMES, meta, tx, (64, 64)))
     losses = []
-    for i in range(10):
+    for i in range(6):
         state, metrics = step(state, batch, 0)
         losses.append(float(metrics["loss"]))
     assert np.isfinite(losses).all()

@@ -115,3 +115,21 @@ def test_circle_nms_matches_reference_loop():
     )
     got = list(np.asarray(sel)[np.asarray(sel_valid)])
     assert got == keep_ref
+
+
+def test_fast_nms_agrees_on_sparse_scenes():
+    """fast NMS == exact greedy when overlaps form no suppression chains."""
+    from com_tpu.ops.nms import fast_nms_bev
+
+    boxes = jnp.asarray(np.array(
+        [[0, 0, 0, 4, 2, 1.5, 0.0],
+         [0.1, 0.0, 0, 4, 2, 1.5, 0.0],
+         [20, 20, 0, 4, 2, 1.5, 0.5],
+         [40, 40, 0, 4, 2, 1.5, 0.0]], np.float32))
+    scores = jnp.asarray([0.9, 0.95, 0.5, 0.2])
+    valid = jnp.ones(4, bool)
+    se, sv = nms_ops.nms_bev(boxes, scores, valid, 0.5, 4)
+    sf, svf = fast_nms_bev(boxes, scores, valid, 0.5, 4)
+    np.testing.assert_array_equal(
+        np.asarray(se)[np.asarray(sv)], np.asarray(sf)[np.asarray(svf)]
+    )

@@ -101,7 +101,7 @@ def test_pvrcnn_train_step():
     state = TrainState.create(variables, tx, num_head_groups=0)
     step = jax.jit(make_train_step(net, cfg, CLASS_NAMES, meta, tx, (8, 8)))
     losses = []
-    for i in range(8):
+    for i in range(5):
         state, metrics = step(state, batch, 0)
         losses.append(float(metrics["loss"]))
         assert "rcnn_loss_cls" in metrics and "rcnn_loss_reg" in metrics

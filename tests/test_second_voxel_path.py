@@ -89,7 +89,7 @@ def test_second_forward_and_train_step():
     state = TrainState.create(variables, tx, num_head_groups=0)
     step = jax.jit(make_train_step(net, cfg, CLASS_NAMES, meta, tx, (8, 8)))
     losses = []
-    for i in range(12):
+    for i in range(8):
         state, metrics = step(state, batch, 0)
         losses.append(float(metrics["loss"]))
     assert np.isfinite(losses).all()
