@@ -51,9 +51,11 @@ def main():
     )
     state = TrainState.create_jit(variables, tx, num_head_groups=1)
     grid = meta.grid_size
+    # donate the state: params/opt buffers update in place, no copy per step
     step = jax.jit(
         make_train_step(net, cfg.MODEL, list(cfg.CLASS_NAMES), meta, tx,
-                        (grid[1], grid[0]))
+                        (grid[1], grid[0])),
+        donate_argnums=(0,),
     )
 
     # keep data resident on device; a real input pipeline double-buffers

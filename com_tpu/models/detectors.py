@@ -58,7 +58,7 @@ class Detector3D(nn.Module):
                 voxel_size=self.meta.voxel_size,
                 point_cloud_range=self.meta.point_cloud_range,
             )
-        if cfg["NAME"] == "DynamicPillarVFE":
+        if cfg["NAME"] in ("DynamicPillarVFE", "DynamicMeanVFE"):
             kw.update(grid_size=self.meta.grid_size)
         return cls(**kw)
 

@@ -36,6 +36,27 @@ class PointPillarScatter(nn.Module):
 
 
 @MAP_TO_BEV.register
+class Conv2DCollapse(nn.Module):
+    """Learned z-collapse (conv2d_collapse.py role): fold z into channels
+    then 1x1-conv down to NUM_BEV_FEATURES."""
+
+    model_cfg: dict
+
+    @nn.compact
+    def __call__(self, batch, train: bool = True):
+        dense = batch["encoded_spconv_tensor"]  # (B, D, H, W, C)
+        b, d, h, w, c = dense.shape
+        x = jnp.transpose(dense, (0, 2, 3, 1, 4)).reshape(b, h, w, d * c)
+        x = nn.Conv(int(self.model_cfg.get("NUM_BEV_FEATURES", 256)), (1, 1),
+                    use_bias=False)(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.99,
+                         epsilon=1e-3)(x)
+        batch["spatial_features"] = nn.relu(x)
+        batch["spatial_features_stride"] = batch.get("encoded_spconv_tensor_stride", 8)
+        return batch
+
+
+@MAP_TO_BEV.register
 class HeightCompression(nn.Module):
     """Sparse -> dense, z folded into channels (height_compression.py:10-26).
 

@@ -125,6 +125,74 @@ class PillarVFE(nn.Module):
 
 
 @VFES.register
+class DynamicMeanVFE(nn.Module):
+    """Device-side dynamic voxelization + mean features (dynamic_mean_vfe.py
+    role): raw points -> unique 3D voxel set (sort-unique, fixed cap) ->
+    segment-mean features; emits (B, V, C) + zyx coords for the sparse
+    backbone.  No host voxelizer needed on this path.
+    """
+
+    model_cfg: dict
+    num_point_features: int
+    voxel_size: tuple
+    point_cloud_range: tuple
+    grid_size: tuple
+
+    @nn.compact
+    def __call__(self, batch, train: bool = True):
+        from ..ops.sparse import flat_key
+
+        points = batch["points"]  # (B, N, F)
+        pmask = batch["points_mask"]
+        v_cap = int(self.model_cfg.get("MAX_VOXELS", 60000))
+        nx, ny, nz = (int(g) for g in self.grid_size)
+        vx, vy, vz = self.voxel_size
+        x0, y0, z0 = self.point_cloud_range[:3]
+        int_max = jnp.iinfo(jnp.int32).max
+
+        def per_sample(p, m):
+            ix = jnp.floor((p[:, 0] - x0) / vx).astype(jnp.int32)
+            iy = jnp.floor((p[:, 1] - y0) / vy).astype(jnp.int32)
+            iz = jnp.floor((p[:, 2] - z0) / vz).astype(jnp.int32)
+            inb = m & (ix >= 0) & (ix < nx) & (iy >= 0) & (iy < ny) \
+                & (iz >= 0) & (iz < nz)
+            coords = jnp.stack([iz, iy, ix], axis=1)
+            keys = flat_key(coords, (nz, ny, nx), inb)
+            skeys = jnp.sort(keys)
+            first = jnp.concatenate(
+                [jnp.ones((1,), bool), skeys[1:] != skeys[:-1]]
+            ) & (skeys != int_max)
+            rank = jnp.cumsum(first) - 1
+            ukeys = jnp.full((v_cap,), int_max, jnp.int32)
+            ukeys = ukeys.at[jnp.where(first, rank, v_cap)].set(skeys, mode="drop")
+            vvalid = ukeys != int_max
+            # per-point slot via binary search over the (sorted) unique keys
+            slot = jnp.searchsorted(ukeys, keys)
+            slot = jnp.clip(slot, 0, v_cap - 1)
+            hit = (ukeys[slot] == keys) & inb
+            seg = jnp.where(hit, slot, v_cap)
+            ones = hit.astype(p.dtype)[:, None]
+            s = jax.ops.segment_sum(p * ones, seg, num_segments=v_cap + 1)[:-1]
+            cnt = jax.ops.segment_sum(ones, seg, num_segments=v_cap + 1)[:-1]
+            feats = s / jnp.clip(cnt, 1.0, None)
+            safe = jnp.where(vvalid, ukeys, 0)
+            oz = safe // (ny * nx)
+            oy = (safe // nx) % ny
+            ox = safe % nx
+            out_coords = jnp.where(
+                vvalid[:, None],
+                jnp.stack([oz, oy, ox], axis=1),
+                -1,
+            )
+            return feats, out_coords
+
+        feats, coords = jax.vmap(per_sample)(points, pmask)
+        batch["pillar_features"] = feats
+        batch["voxel_coords"] = coords
+        return batch
+
+
+@VFES.register
 class DynamicPillarVFE(nn.Module):
     """Fused dynamic pillarization + PFN + scatter-to-BEV (TPU fast path).
 

@@ -99,6 +99,77 @@ def mask_boxes_outside_range(boxes, limit_range, min_num_corners=1, xp=np):
     return inside.sum(axis=-1) >= min_num_corners
 
 
+def corner_loss(pred_boxes, gt_boxes, xp=None):
+    """Corner alignment loss (loss_utils.get_corner_loss_lidar role): mean
+    smooth-L1 over the 8 corner distances, min over the flipped heading."""
+    import jax.numpy as _jnp
+
+    xp = xp or _jnp
+    pc = boxes_to_corners_3d(pred_boxes, xp=xp)
+    gc = boxes_to_corners_3d(gt_boxes, xp=xp)
+    flip = xp.concatenate(
+        [gt_boxes[..., :6], gt_boxes[..., 6:7] + xp.pi], axis=-1
+    )
+    gcf = boxes_to_corners_3d(flip, xp=xp)
+    d = xp.minimum(
+        xp.sqrt(((pc - gc) ** 2).sum(-1) + 1e-8).mean(-1),
+        xp.sqrt(((pc - gcf) ** 2).sum(-1) + 1e-8).mean(-1),
+    )
+    # huber with delta 1
+    return xp.where(d < 1.0, 0.5 * d * d, d - 0.5)
+
+
+class PointResidualCoder:
+    """Point-based box coder (box_coder_utils.PointResidualCoder role):
+    encodes boxes relative to point positions with class-mean size priors."""
+
+    def __init__(self, code_size=8, use_mean_size=True, mean_size=None):
+        self.code_size = code_size
+        self.use_mean_size = use_mean_size
+        self.mean_size = np.asarray(
+            mean_size if mean_size is not None
+            else [[3.9, 1.6, 1.56], [0.8, 0.6, 1.73], [1.76, 0.6, 1.73]],
+            np.float32,
+        )
+
+    def encode(self, boxes, points, gt_classes, xp=np):
+        xg, yg, zg = boxes[..., 0], boxes[..., 1], boxes[..., 2]
+        dxg, dyg, dzg = (xp.clip(boxes[..., i], 1e-5, None) for i in (3, 4, 5))
+        rg = boxes[..., 6]
+        xa, ya, za = points[..., 0], points[..., 1], points[..., 2]
+        if self.use_mean_size:
+            m = xp.asarray(self.mean_size)[gt_classes - 1]
+            dxa, dya, dza = m[..., 0], m[..., 1], m[..., 2]
+            diag = xp.sqrt(dxa**2 + dya**2)
+            xt, yt = (xg - xa) / diag, (yg - ya) / diag
+            zt = (zg - za) / dza
+            dxt, dyt, dzt = xp.log(dxg / dxa), xp.log(dyg / dya), xp.log(dzg / dza)
+        else:
+            xt, yt, zt = xg - xa, yg - ya, zg - za
+            dxt, dyt, dzt = xp.log(dxg), xp.log(dyg), xp.log(dzg)
+        return xp.stack(
+            [xt, yt, zt, dxt, dyt, dzt, xp.cos(rg), xp.sin(rg)], axis=-1
+        )
+
+    def decode(self, encodings, points, pred_classes, xp=np):
+        xt, yt, zt, dxt, dyt, dzt, cost, sint = (
+            encodings[..., i] for i in range(8)
+        )
+        xa, ya, za = points[..., 0], points[..., 1], points[..., 2]
+        if self.use_mean_size:
+            m = xp.asarray(self.mean_size)[pred_classes - 1]
+            dxa, dya, dza = m[..., 0], m[..., 1], m[..., 2]
+            diag = xp.sqrt(dxa**2 + dya**2)
+            xg, yg = xt * diag + xa, yt * diag + ya
+            zg = zt * dza + za
+            dxg, dyg, dzg = xp.exp(dxt) * dxa, xp.exp(dyt) * dya, xp.exp(dzt) * dza
+        else:
+            xg, yg, zg = xt + xa, yt + ya, zt + za
+            dxg, dyg, dzg = xp.exp(dxt), xp.exp(dyt), xp.exp(dzt)
+        rg = xp.arctan2(sint, cost)
+        return xp.stack([xg, yg, zg, dxg, dyg, dzg, rg], axis=-1)
+
+
 class ResidualCoder:
     """SECOND-style 7(+C)-dim anchor box coder (pcdet box_coder_utils.ResidualCoder).
 

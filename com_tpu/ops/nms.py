@@ -71,6 +71,29 @@ def nms_bev(
     return selected, sel_valid & (jnp.arange(post_max_size) < keep.sum())
 
 
+def multi_class_nms_bev(
+    boxes: jax.Array,  # (K, 7)
+    scores: jax.Array,  # (K,)
+    labels: jax.Array,  # (K,) int
+    valid: jax.Array,  # (K,) bool
+    num_classes: int,
+    thresh: float,
+    post_max_size: int,
+):
+    """Per-class rotated NMS (model_nms_utils.multi_classes_nms role): run the
+    suppression independently within each class, then keep the top
+    post_max_size by score overall."""
+    k = boxes.shape[0]
+    kept = jnp.zeros((k,), bool)
+    for c in range(1, num_classes + 1):
+        cls_valid = valid & (labels == c)
+        sel, sel_valid = nms_bev(boxes, scores, cls_valid, thresh, k)
+        kept = kept.at[sel].max(sel_valid)
+    keep_scores = jnp.where(kept, scores, -jnp.inf)
+    top, idx = jax.lax.top_k(keep_scores, post_max_size)
+    return idx, jnp.isfinite(top)
+
+
 def fast_nms_bev(
     boxes: jax.Array,  # (K, 7)
     scores: jax.Array,  # (K,)

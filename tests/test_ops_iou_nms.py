@@ -133,3 +133,18 @@ def test_fast_nms_agrees_on_sparse_scenes():
     np.testing.assert_array_equal(
         np.asarray(se)[np.asarray(sv)], np.asarray(sf)[np.asarray(svf)]
     )
+
+
+def test_multi_class_nms_keeps_cross_class_overlaps():
+    from com_tpu.ops.nms import multi_class_nms_bev
+
+    # two identical boxes with different classes: both survive per-class NMS
+    boxes = jnp.asarray(np.array(
+        [[0, 0, 0, 4, 2, 1.5, 0.0], [0, 0, 0, 4, 2, 1.5, 0.0],
+         [0.05, 0, 0, 4, 2, 1.5, 0.0]], np.float32))
+    scores = jnp.asarray([0.9, 0.8, 0.7])
+    labels = jnp.asarray([1, 2, 1])
+    idx, valid = multi_class_nms_bev(boxes, scores, labels, jnp.ones(3, bool),
+                                     num_classes=2, thresh=0.5, post_max_size=3)
+    kept = set(np.asarray(idx)[np.asarray(valid)].tolist())
+    assert kept == {0, 1}  # box 2 suppressed within class 1, box 1 kept (class 2)

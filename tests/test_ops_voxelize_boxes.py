@@ -87,3 +87,30 @@ def test_points_in_rbbox_rotation():
     assert list(m[:, 0]) == [True, False, True]
     big = enlarge_box3d(box, [0.5, 0.5, 0.5], xp=np)
     assert np.isclose(big[0, 3], 4.5)
+
+
+def test_point_residual_coder_roundtrip():
+    from com_tpu.ops.boxes import PointResidualCoder
+
+    rng = np.random.RandomState(5)
+    boxes = np.concatenate(
+        [rng.uniform(-10, 10, (16, 3)), rng.uniform(1, 5, (16, 3)),
+         rng.uniform(-np.pi, np.pi, (16, 1))], axis=1)
+    points = rng.uniform(-10, 10, (16, 3))
+    classes = rng.randint(1, 4, 16)
+    coder = PointResidualCoder()
+    rec = coder.decode(coder.encode(boxes, points, classes, xp=np), points, classes, xp=np)
+    np.testing.assert_allclose(rec[:, :6], boxes[:, :6], atol=1e-5)
+    d = np.abs(np.angle(np.exp(1j * (rec[:, 6] - boxes[:, 6]))))
+    assert d.max() < 1e-5
+
+
+def test_corner_loss_zero_at_identity_and_flip():
+    from com_tpu.ops.boxes import corner_loss
+
+    boxes = jnp.asarray(np.array([[0, 0, 0, 4, 2, 1.5, 0.3]], np.float32))
+    flipped = boxes.at[0, 6].add(np.pi)
+    assert float(corner_loss(boxes, boxes)[0]) < 1e-3
+    assert float(corner_loss(flipped, boxes)[0]) < 1e-3  # flip-invariant
+    shifted = boxes.at[0, 0].add(2.0)
+    assert float(corner_loss(shifted, boxes)[0]) > 1.0

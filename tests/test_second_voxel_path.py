@@ -94,3 +94,31 @@ def test_second_forward_and_train_step():
         losses.append(float(metrics["loss"]))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0], losses
+
+
+def test_dynamic_mean_vfe_matches_host_voxelizer():
+    """Device dynamic voxelization == host hard-voxelizer (mean features)."""
+    from com_tpu.models.vfe import DynamicMeanVFE
+    from com_tpu.utils.config import CfgNode as C
+
+    rng = np.random.RandomState(7)
+    pc_range = [-16, -16, -1.6, 16, 16, 1.6]
+    vsize = [0.5, 0.5, 0.4]
+    pts = np.concatenate(
+        [rng.uniform(-15, 15, (3000, 2)), rng.uniform(-1.4, 1.4, (3000, 1)),
+         rng.rand(3000, 2)], axis=1).astype(np.float32)
+    vfe = DynamicMeanVFE(model_cfg=C({"MAX_VOXELS": 4096}), num_point_features=5,
+                         voxel_size=vsize, point_cloud_range=pc_range,
+                         grid_size=(64, 64, 8))
+    batch = {"points": jnp.asarray(pts[None]), "points_mask": jnp.ones((1, 3000), bool)}
+    out = vfe.apply({}, dict(batch), train=False)
+    feats = np.asarray(out["pillar_features"])[0]
+    coords = np.asarray(out["voxel_coords"])[0]
+    valid = coords[:, 0] >= 0
+
+    # host oracle: mean of points per voxel with a big per-voxel cap
+    vox, hcoords, hnum = voxelize_points(pts, pc_range, vsize, 64, 4096)
+    host = {tuple(c): vox[i, :hnum[i]].mean(axis=0) for i, c in enumerate(hcoords)}
+    assert valid.sum() == len(host)
+    for i in np.where(valid)[0]:
+        np.testing.assert_allclose(feats[i], host[tuple(coords[i])], atol=1e-4)
