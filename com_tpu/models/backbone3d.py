@@ -65,6 +65,25 @@ class SparseConvBlock(nn.Module):
         return out, ncoords, nvalid, ngrid
 
 
+class SparseResBlock(nn.Module):
+    """Residual pair of submanifold convs (VoxelResBackBone8x basic block)."""
+
+    channels: int
+
+    @nn.compact
+    def __call__(self, feats, coords, valid, grid_zyx, train: bool):
+        identity = feats
+        if identity.shape[-1] != self.channels:  # 1x1 projection shortcut
+            identity = nn.Dense(self.channels, use_bias=False, name="proj")(identity)
+        x, *_ = SparseConvBlock(self.channels, name="conv1")(
+            feats, coords, valid, grid_zyx, train
+        )
+        x, *_ = SparseConvBlock(self.channels, name="conv2")(
+            x, coords, valid, grid_zyx, train
+        )
+        return x + identity, coords, valid, grid_zyx
+
+
 @BACKBONES_3D.register
 class VoxelBackBone8x(nn.Module):
     model_cfg: dict
@@ -72,6 +91,10 @@ class VoxelBackBone8x(nn.Module):
     grid_size: tuple  # (nx, ny, nz)
     voxel_size: tuple
     point_cloud_range: tuple
+
+    # subclass hook: submanifold stage body
+    def _stage_block(self, ch, name):
+        return SparseConvBlock(ch, name=name)
 
     @nn.compact
     def __call__(self, batch, train: bool = True):
@@ -89,7 +112,7 @@ class VoxelBackBone8x(nn.Module):
         chans = self.model_cfg.get("CHANNELS", [16, 32, 64, 128])
 
         multi = {}
-        x, coords, valid, grid = SparseConvBlock(chans[0], name="subm0_0")(
+        x, coords, valid, grid = self._stage_block(chans[0], "subm0_0")(
             x, coords, valid, grid, train
         )
         multi["x_conv1"] = (x, coords, valid, grid)
@@ -99,8 +122,8 @@ class VoxelBackBone8x(nn.Module):
                 name=f"down{blk}",
             )(x, coords, valid, grid, train)
             for i in range(2):
-                x, coords, valid, grid = SparseConvBlock(
-                    chans[blk], name=f"subm{blk}_{i}"
+                x, coords, valid, grid = self._stage_block(
+                    chans[blk], f"subm{blk}_{i}"
                 )(x, coords, valid, grid, train)
             multi[f"x_conv{blk + 1}"] = (x, coords, valid, grid)
 
@@ -115,3 +138,11 @@ class VoxelBackBone8x(nn.Module):
         batch["encoded_spconv_tensor_stride"] = 8
         batch["multi_scale_3d_features"] = multi
         return batch
+
+
+@BACKBONES_3D.register
+class VoxelResBackBone8x(VoxelBackBone8x):
+    """Residual variant (spconv_backbone.py VoxelResBackBone8x role)."""
+
+    def _stage_block(self, ch, name):
+        return SparseResBlock(ch, name=name)

@@ -211,6 +211,12 @@ class PVRCNN(Detector3D):
         batch = self._build_backbone2d(batch["spatial_features"].shape[-1])(batch, train)
         batch = self._build_dense_head()(batch, train)
 
+        pnt_cfg = self.model_cfg.get("POINT_HEAD")
+        if pnt_cfg is not None:
+            from .dense_heads.point_head import PointHeadSimple
+
+            batch = PointHeadSimple(model_cfg=pnt_cfg, name="point_head")(batch, train)
+
         rois, roi_scores, roi_labels = self._proposals(batch, train)
         if train and "gt_boxes" in batch:
             import jax.numpy as jnp

@@ -20,9 +20,18 @@ def _greedy_suppress(pair_matrix: jax.Array, thresh: float, valid: jax.Array):
 
     pair_matrix[i, j] = affinity between candidates i and j (IoU or -dist);
     candidates are already sorted by descending score.  Returns keep mask.
+
+    On TPU the sequential pass runs as a single Pallas kernel with the whole
+    (K, K) matrix resident in VMEM (ops/pallas/nms_kernel.py); elsewhere a
+    lax.fori_loop fallback (also the test oracle).
     """
     k = pair_matrix.shape[0]
     over = pair_matrix > thresh
+
+    if jax.default_backend() == "tpu" and k <= 1024:
+        from .pallas.nms_kernel import greedy_suppress_pallas
+
+        return greedy_suppress_pallas(over, valid)
 
     def body(i, state):
         suppressed, keep = state

@@ -338,6 +338,12 @@ def make_train_step(net, model_cfg, class_names, meta, tx, fmap_hw):
                 roi_loss, roi_tb = compute_roi_loss(out, model_cfg)
                 loss = loss + roi_loss
                 tb.update(roi_tb)
+            if "point_cls_scores_raw" in out and "gt_boxes" in out:
+                from ..models.dense_heads.point_head import point_head_loss
+
+                p_loss = point_head_loss(out)
+                loss = loss + p_loss
+                tb["point_loss_cls"] = p_loss
             return loss, (mut["batch_stats"], new_cur, aux_list, tb)
 
         (loss, (bs, new_cur, aux_list, tb)), grads = jax.value_and_grad(

@@ -148,3 +148,19 @@ def test_multi_class_nms_keeps_cross_class_overlaps():
                                      num_classes=2, thresh=0.5, post_max_size=3)
     kept = set(np.asarray(idx)[np.asarray(valid)].tolist())
     assert kept == {0, 1}  # box 2 suppressed within class 1, box 1 kept (class 2)
+
+
+def test_pallas_greedy_suppress_interpret_matches_lax():
+    from com_tpu.ops.pallas.nms_kernel import greedy_suppress_pallas
+    from com_tpu.ops.nms import _greedy_suppress
+
+    rng = np.random.RandomState(9)
+    k = 130
+    iou = rng.rand(k, k).astype(np.float32)
+    iou = (iou + iou.T) / 2
+    np.fill_diagonal(iou, 1.0)
+    valid = jnp.asarray(rng.rand(k) > 0.2)
+    keep_ref = np.asarray(_greedy_suppress(jnp.asarray(iou), 0.75, valid))
+    keep_pl = np.asarray(greedy_suppress_pallas(
+        jnp.asarray((iou > 0.75).astype(np.float32)), valid, interpret=True))
+    np.testing.assert_array_equal(keep_ref, keep_pl)

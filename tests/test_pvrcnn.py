@@ -40,6 +40,7 @@ def pvrcnn_cfg():
             "LOSS_CONFIG": {"LOSS_WEIGHTS": {"cls_weight": 1.0, "loc_weight": 2.0,
                                              "dir_weight": 0.2, "code_weights": [1.0] * 7}},
         },
+        "POINT_HEAD": {"NAME": "PointHeadSimple", "CLS_FC": [16]},
         "ROI_HEAD": {
             "NAME": "PVRCNNHead",
             "NMS_CONFIG": {"TRAIN_PRE": 128, "TEST_PRE": 128, "TEST_POST": 32},
@@ -105,9 +106,12 @@ def test_pvrcnn_train_step():
         state, metrics = step(state, batch, 0)
         losses.append(float(metrics["loss"]))
         assert "rcnn_loss_cls" in metrics and "rcnn_loss_reg" in metrics
+        assert "point_loss_cls" in metrics
     assert np.isfinite(losses).all()
-    # two-stage losses oscillate as proposals shift; require clear net progress
-    assert min(losses) < losses[0] * 0.6, losses
+    # two-stage + point-head losses oscillate as proposals shift; require
+    # steady net progress over the short run
+    assert min(losses) < losses[0] * 0.85, losses
+    assert losses[-1] <= min(losses) * 1.2, losses
 
     # eval-mode forward produces rois + refinement outputs
     ev = net.apply(variables, dict(batch), train=False)

@@ -129,3 +129,27 @@ def test_voxel_backbone_8x_shapes():
     assert dense.shape[2] == 4 and dense.shape[3] == 4  # 32/8
     assert out["encoded_spconv_tensor_stride"] == 8
     assert np.isfinite(np.asarray(dense)).all()
+
+
+def test_voxel_res_backbone_8x():
+    from com_tpu.models.backbone3d import VoxelResBackBone8x
+    from com_tpu.utils.config import CfgNode
+
+    rng = np.random.RandomState(4)
+    b, v = 1, 128
+    coords = np.stack([
+        rng.randint(0, 8, (b, v)), rng.randint(0, 32, (b, v)), rng.randint(0, 32, (b, v)),
+    ], axis=2).astype(np.int32)
+    feats = rng.randn(b, v, 4).astype(np.float32)
+    batch = {"pillar_features": jnp.asarray(feats), "voxel_coords": jnp.asarray(coords)}
+    net = VoxelResBackBone8x(
+        model_cfg=CfgNode({"CHANNELS": [8, 16, 16, 32],
+                           "VOXEL_CAPS": [128, 64, 32, 16]}),
+        input_channels=4, grid_size=(32, 32, 8), voxel_size=(0.1, 0.1, 0.15),
+        point_cloud_range=(-1.6, -1.6, -0.6, 1.6, 1.6, 0.6),
+    )
+    variables = net.init(jax.random.PRNGKey(0), dict(batch), train=False)
+    out = net.apply(variables, dict(batch), train=False)
+    dense = out["encoded_spconv_tensor"]
+    assert dense.shape[-1] == 32 and dense.shape[2] == 4
+    assert np.isfinite(np.asarray(dense)).all()
