@@ -139,3 +139,39 @@ def test_train_step_on_8_device_mesh():
         np.testing.assert_allclose(
             float(metrics["loss"]), float(metrics2["loss"]), rtol=2e-4
         )
+
+
+def test_merge_scores_single_class_com():
+    """Single-class merge-variant COM head (car_com2 config path) trains."""
+    cfg = tiny_model_cfg(curriculum=True)
+    cfg.CLASS_NAMES = ["Vehicle"]
+    cfg["DENSE_HEAD"]["CLASS_NAMES_EACH_HEAD"] = [["Vehicle"]]
+    cfg["DENSE_HEAD"]["NAME"] = "CurriculumCenterHead_car_merge"
+    cfg["DENSE_HEAD"]["LOSS_CURRICULUM"] = {
+        "UCL": True, "MERGE_SCORES": True, "OFFSET": 0.5, "ELONGATION": -10,
+        "HEIGHT": 1, "ALPHA": 0.01,
+    }
+    meta = DatasetMeta(["Vehicle"], [-16, -16, -2, 16, 16, 4], [0.5, 0.5, 6.0],
+                       [64, 64, 1], 5)
+    net = build_network(cfg, meta)
+    rng = np.random.RandomState(3)
+    batch = synthetic_batch(rng)
+    # make all GT vehicles (class 1)
+    gt = np.array(batch["gt_boxes"])
+    gt[..., 7] = np.where(gt[..., 7] > 0, 1, 0)
+    batch["gt_boxes"] = jnp.asarray(gt)
+    variables = net.init(jax.random.PRNGKey(0), dict(batch), train=False)
+    tx, _ = build_optimizer(variables["params"],
+                            CfgNode({"OPTIMIZER": "adam_onecycle", "LR": 1e-3,
+                                     "WEIGHT_DECAY": 0.01, "GRAD_NORM_CLIP": 10.0}),
+                            100, 10)
+    state = TrainState.create(variables, tx, num_head_groups=1)
+    step = jax.jit(make_train_step(net, cfg, ["Vehicle"], meta, tx, (64, 64)))
+    for i in range(3):
+        state, metrics = step(state, batch, i)
+    assert np.isfinite(float(metrics["loss"]))
+    # merge stats engaged: mean/std EMA initialized
+    assert bool(np.asarray(state.curriculum[0].initialized))
+    assert float(state.curriculum[0].mean) > 0
+    # conf tensor is (1, 96) for single-class Vehicle
+    assert np.asarray(metrics["confidence_sum"]).shape == (1, 96)
