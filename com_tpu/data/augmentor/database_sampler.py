@@ -5,8 +5,8 @@ Host-side numpy rebuild of the reference's three samplers:
 * ``DataBaseSampler`` — OpenPCDet GT-Aug (database_sampler.py:16-554):
   class-balanced round-robin sampling from a GT database, BEV-IoU collision
   rejection, carve-out + paste of object points, carrying the COM side-arrays.
-* ``DataBaseSamplerV2`` — difficulty grouping (database_sampler_v2.py):
-  per-group pointer round-robin; pasted objects tagged ``true_object=2``.
+* ``DataBaseSamplerV2`` — 3-way density grouping with equal-share draw
+  (database_sampler_v2.py:137-210); pasted objects tagged ``true_object=2``.
 * ``DataBaseSamplerCOM1/COM2`` — curriculum samplers
   (database_sampler_curriculum.py:17-278): the database is clustered into
   difficulty groups (Vehicle 3x2x4x4=96, Ped/Cyc 3x5=15); COM2 samples groups
@@ -259,16 +259,90 @@ def split_difficulty_groups(db_infos, class_name):
     return groups
 
 
+def split_density_groups(db_infos, class_name):
+    """Reference V2 3-way split (database_sampler_v2.py:137-178): three
+    distance bands (<=30 / 30-50 / >50 m); within each band, keep only objects
+    whose point density (num_points_in_gt / box volume) exceeds the band's
+    1/3-quantile.  Low-density (hardest) third and >75 m objects are dropped
+    from the augmentation pool entirely."""
+    infos = db_infos[class_name]
+    if len(infos) == 0:
+        return [np.zeros(0, np.int64) for _ in range(3)]
+    box = np.stack([i["box3d_lidar"] for i in infos])
+    dist = np.sqrt(box[:, 0] ** 2 + box[:, 1] ** 2)
+    npts = np.array([i["num_points_in_gt"] for i in infos], np.float64)
+    volume = box[:, 3] * box[:, 4] * box[:, 5]
+    density = npts / np.clip(volume, 1e-6, None)
+
+    bands = [(dist <= 30), (dist > 30) & (dist <= 50), (dist > 50)]
+    groups = []
+    for band in bands:
+        band_density = density[band]
+        if len(band_density) == 0:
+            groups.append(np.zeros(0, np.int64))
+            continue
+        srt = np.sort(band_density)
+        threshold = srt[int(len(srt) * 1 / 3)]
+        groups.append(np.where(band & (density > threshold))[0])
+    return groups
+
+
 class DataBaseSamplerV2(DataBaseSampler):
-    """Difficulty-grouped round-robin GT-Aug (database_sampler_v2 semantics)."""
+    """Density-filtered 3-group GT-Aug with equal-share round-robin draw
+    (database_sampler_v2.py:137-210 semantics)."""
 
     def make_sample_group(self, class_name, sample_num):
-        indices_list = split_difficulty_groups(self.db_infos, class_name)
+        indices_list = self.split_groups(class_name)
         return {
             "sample_num": sample_num,
             "pointer": [len(g) for g in indices_list],
             "indices": indices_list,
         }
+
+    def split_groups(self, class_name):
+        return split_density_groups(self.db_infos, class_name)
+
+    def _sample_for_class(self, class_name, sample_group):
+        """Equal share per group: int(total/num_groups)+1 each, contiguous
+        pointer slice, permute-on-wrap (sample_with_fixed_number_v2,
+        database_sampler_v2.py:183-211)."""
+        total_num = int(sample_group["sample_num"])
+        num_groups = len(sample_group["indices"])
+        per_group = int(total_num / num_groups) + 1
+        sampled = []
+        for g in range(num_groups):
+            pointer = sample_group["pointer"][g]
+            indices = sample_group["indices"][g]
+            if len(indices) == 0:
+                continue
+            if pointer >= len(indices):
+                indices = self.rng.permutation(indices)
+                pointer = 0
+            sampled.extend(
+                self.db_infos[class_name][i]
+                for i in indices[pointer : pointer + per_group]
+            )
+            sample_group["pointer"][g] = pointer + per_group
+            sample_group["indices"][g] = indices
+        return sampled
+
+
+class DataBaseSamplerCOM1(DataBaseSamplerV2):
+    """COM1: 96/15 difficulty grouping, group-size-proportional one-at-a-time
+    draw (database_sampler_curriculum.py:34-150; no confidence feedback)."""
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        cfg = self.sampler_cfg
+        self.s3 = list(cfg.get("S3", [0.1, 0.1, 0.1]))
+        self.m3 = list(cfg.get("M3", [1.5, 0.3, 0.3]))
+        self.anti = bool(cfg.get("ANTI", False))
+        self.back = bool(cfg.get("BACK", False))
+        self.stop = cfg.get("STOP", None)
+        self.ave_epoch = int(cfg.get("AVE", 100))
+
+    def split_groups(self, class_name):
+        return split_difficulty_groups(self.db_infos, class_name)
 
     def group_probability(self, class_name, sample_group):
         sizes = np.array([len(g) for g in sample_group["indices"]], np.float64)
@@ -296,20 +370,6 @@ class DataBaseSamplerV2(DataBaseSampler):
             sample_group["pointer"][g] = pointer + 1
             sample_group["indices"][g] = indices
         return sampled
-
-
-class DataBaseSamplerCOM1(DataBaseSamplerV2):
-    """COM1: group-size-proportional sampling (no confidence feedback)."""
-
-    def __init__(self, *args, **kwargs):
-        super().__init__(*args, **kwargs)
-        cfg = self.sampler_cfg
-        self.s3 = list(cfg.get("S3", [0.1, 0.1, 0.1]))
-        self.m3 = list(cfg.get("M3", [1.5, 0.3, 0.3]))
-        self.anti = bool(cfg.get("ANTI", False))
-        self.back = bool(cfg.get("BACK", False))
-        self.stop = cfg.get("STOP", None)
-        self.ave_epoch = int(cfg.get("AVE", 100))
 
 
 class DataBaseSamplerCOM2(DataBaseSamplerCOM1):

@@ -53,12 +53,14 @@ class Detector3D(nn.Module):
             cfg = dict(cfg, MIXED_PRECISION=True)
         cls = VFES.get(cfg["NAME"])
         kw = dict(model_cfg=cfg, num_point_features=self.meta.num_point_features)
-        if cfg["NAME"] != "MeanVFE":
+        if cfg["NAME"] != "MeanVFE" or cfg.get("VOXELIZE_ON_DEVICE"):
             kw.update(
                 voxel_size=self.meta.voxel_size,
                 point_cloud_range=self.meta.point_cloud_range,
             )
-        if cfg["NAME"] in ("DynamicPillarVFE", "DynamicMeanVFE"):
+        if cfg["NAME"] in ("DynamicPillarVFE", "DynamicMeanVFE") or cfg.get(
+            "VOXELIZE_ON_DEVICE"
+        ):
             kw.update(grid_size=self.meta.grid_size)
         return cls(**kw)
 

@@ -16,9 +16,30 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..ops.voxelize import point_voxel_ids
+from ..ops.voxelize import device_hard_voxelize, point_voxel_ids
 from ..utils.registry import VFES
 from .layers import MaskedBatchNorm
+
+
+def maybe_voxelize_on_device(batch, model_cfg, voxel_size, point_cloud_range,
+                             grid_size):
+    """If the batch carries raw points but no voxels and the VFE config asks
+    for VOXELIZE_ON_DEVICE, hard-voxelize on device (scatter-free sorted
+    gather; ops/voxelize.py).  Keeps the host→device transfer at raw-point
+    size while preserving the padded (V, T, F) PFN contract."""
+    cfg = model_cfg.get("VOXELIZE_ON_DEVICE", None)
+    if not cfg or "voxels" in batch:
+        return batch
+    t = int(cfg.get("MAX_POINTS_PER_VOXEL", 20))
+    v = int(cfg.get("MAX_NUMBER_OF_VOXELS", 150000))
+    voxels, coords, num_points = device_hard_voxelize(
+        batch["points"], batch["points_mask"], point_cloud_range, voxel_size,
+        grid_size, t, v,
+    )
+    batch["voxels"] = voxels
+    batch["voxel_coords"] = coords
+    batch["voxel_num_points"] = num_points
+    return batch
 
 
 @VFES.register
@@ -28,8 +49,16 @@ class MeanVFE(nn.Module):
     model_cfg: dict
     num_point_features: int
 
+    voxel_size: tuple = (0.1, 0.1, 0.15)
+    point_cloud_range: tuple = (0, -40, -3, 70.4, 40, 1)
+    grid_size: tuple = (704, 800, 27)
+
     @nn.compact
     def __call__(self, batch, train: bool = True):
+        batch = maybe_voxelize_on_device(
+            batch, self.model_cfg, self.voxel_size, self.point_cloud_range,
+            self.grid_size,
+        )
         voxels = batch["voxels"]  # (B, V, T, F)
         num_points = batch["voxel_num_points"]  # (B, V)
         denom = jnp.clip(num_points[..., None].astype(voxels.dtype), 1.0, None)
@@ -73,9 +102,14 @@ class PillarVFE(nn.Module):
     num_point_features: int
     voxel_size: tuple
     point_cloud_range: tuple
+    grid_size: tuple = (468, 468, 1)
 
     @nn.compact
     def __call__(self, batch, train: bool = True):
+        batch = maybe_voxelize_on_device(
+            batch, self.model_cfg, self.voxel_size, self.point_cloud_range,
+            self.grid_size,
+        )
         voxels = batch["voxels"]  # (B, V, T, F)
         num_points = batch["voxel_num_points"]  # (B, V)
         coords = batch["voxel_coords"]  # (B, V, 3) zyx
@@ -110,16 +144,18 @@ class PillarVFE(nn.Module):
             )
         feats = feats * mask[..., None].astype(feats.dtype)
 
+        dt = jnp.bfloat16 if self.model_cfg.get("MIXED_PRECISION", False) else None
         num_filters = list(self.model_cfg["NUM_FILTERS"])
         for i, out in enumerate(num_filters):
             last = i == len(num_filters) - 1
 
             def pool(x):
-                xm = jnp.where(mask[..., None], x, -jnp.inf).max(axis=2)
-                xm = jnp.where(jnp.isfinite(xm), xm, 0.0)
+                neg = jnp.asarray(-jnp.inf, x.dtype)
+                xm = jnp.where(mask[..., None], x, neg).max(axis=2)
+                xm = jnp.where(jnp.isfinite(xm), xm, jnp.zeros((), x.dtype))
                 return xm, jnp.broadcast_to(xm[:, :, None, :], x.shape)
 
-            pooled, feats = _PFNLayer(out, last)(feats, mask, pool, train)
+            pooled, feats = _PFNLayer(out, last, dtype=dt)(feats, mask, pool, train)
         batch["pillar_features"] = pooled  # (B, V, C)
         return batch
 

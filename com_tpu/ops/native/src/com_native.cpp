@@ -35,41 +35,77 @@ int64_t voxelize(
     int32_t* coords,           // (max_voxels, 3) zyx
     int32_t* num_points)       // (max_voxels,)
 {
-    const double vx = voxel_size[0], vy = voxel_size[1], vz = voxel_size[2];
-    const int64_t nx = (int64_t)std::llround((pc_range[3] - pc_range[0]) / vx);
-    const int64_t ny = (int64_t)std::llround((pc_range[4] - pc_range[1]) / vy);
-    const int64_t nz = (int64_t)std::llround((pc_range[5] - pc_range[2]) / vz);
+    // float32 arithmetic exactly like the numpy path (ops/voxelize.py:60):
+    // (p - range0) / voxel_size in f32, then floor — bit-equal cell ids.
+    const float vx = voxel_size[0], vy = voxel_size[1], vz = voxel_size[2];
+    const int64_t nx = (int64_t)std::llround(((double)pc_range[3] - pc_range[0]) / vx);
+    const int64_t ny = (int64_t)std::llround(((double)pc_range[4] - pc_range[1]) / vy);
+    const int64_t nz = (int64_t)std::llround(((double)pc_range[5] - pc_range[2]) / vz);
 
-    std::unordered_map<int64_t, int64_t> voxel_of;  // flat key -> slot
-    voxel_of.reserve((size_t)std::min<int64_t>(n, max_voxels) * 2);
+    // Dense grid lookup when the grid is small enough (the pillar case:
+    // 468x468x1); hash map for large 3D grids (SECOND 0.1 m voxels).
+    const int64_t grid_cells = nx * ny * nz;
+    const bool dense = grid_cells > 0 && grid_cells <= (int64_t)16 << 20;
+    std::vector<int32_t> grid_slot;
+    std::unordered_map<int64_t, int64_t> voxel_of;
+    if (dense) {
+        grid_slot.assign((size_t)grid_cells, -1);
+    } else {
+        voxel_of.reserve((size_t)std::min<int64_t>(n, max_voxels) * 2);
+    }
     int64_t num_voxels = 0;
 
     for (int64_t i = 0; i < n; ++i) {
         const float* p = points + i * f;
-        int64_t ix = (int64_t)std::floor((p[0] - pc_range[0]) / vx);
-        int64_t iy = (int64_t)std::floor((p[1] - pc_range[1]) / vy);
-        int64_t iz = (int64_t)std::floor((p[2] - pc_range[2]) / vz);
+        int64_t ix = (int64_t)std::floor((float)((p[0] - pc_range[0]) / vx));
+        int64_t iy = (int64_t)std::floor((float)((p[1] - pc_range[1]) / vy));
+        int64_t iz = (int64_t)std::floor((float)((p[2] - pc_range[2]) / vz));
         if (ix < 0 || ix >= nx || iy < 0 || iy >= ny || iz < 0 || iz >= nz)
             continue;
         int64_t key = (iz * ny + iy) * nx + ix;
-        auto it = voxel_of.find(key);
         int64_t slot;
-        if (it == voxel_of.end()) {
-            if (num_voxels >= max_voxels) continue;
-            slot = num_voxels++;
-            voxel_of.emplace(key, slot);
-            coords[slot * 3 + 0] = (int32_t)iz;
-            coords[slot * 3 + 1] = (int32_t)iy;
-            coords[slot * 3 + 2] = (int32_t)ix;
-            num_points[slot] = 0;
+        if (dense) {
+            int32_t s = grid_slot[(size_t)key];
+            if (s < 0) {
+                if (num_voxels >= max_voxels) continue;
+                slot = num_voxels++;
+                grid_slot[(size_t)key] = (int32_t)slot;
+                coords[slot * 3 + 0] = (int32_t)iz;
+                coords[slot * 3 + 1] = (int32_t)iy;
+                coords[slot * 3 + 2] = (int32_t)ix;
+                num_points[slot] = 0;
+            } else {
+                slot = s;
+            }
         } else {
-            slot = it->second;
+            auto it = voxel_of.find(key);
+            if (it == voxel_of.end()) {
+                if (num_voxels >= max_voxels) continue;
+                slot = num_voxels++;
+                voxel_of.emplace(key, slot);
+                coords[slot * 3 + 0] = (int32_t)iz;
+                coords[slot * 3 + 1] = (int32_t)iy;
+                coords[slot * 3 + 2] = (int32_t)ix;
+                num_points[slot] = 0;
+            } else {
+                slot = it->second;
+            }
         }
         int32_t cnt = num_points[slot];
         if (cnt < max_points_per_voxel) {
             std::memcpy(voxels + (slot * max_points_per_voxel + cnt) * f, p,
                         sizeof(float) * (size_t)f);
             num_points[slot] = cnt + 1;
+        }
+    }
+    // Zero only the unwritten point slots of written voxels, so callers can
+    // allocate the (max_voxels, T, f) buffer with np.empty instead of
+    // paying a full zero-fill (60 MB at Waymo scale).
+    for (int64_t s = 0; s < num_voxels; ++s) {
+        int32_t cnt = num_points[s];
+        if (cnt < max_points_per_voxel) {
+            std::memset(voxels + (s * max_points_per_voxel + cnt) * f, 0,
+                        sizeof(float) * (size_t)((max_points_per_voxel - cnt) * f));
         }
     }
     return num_voxels;

@@ -58,9 +58,11 @@ def voxelize_points(
     nx, ny, nz = int(grid[0]), int(grid[1]), int(grid[2])
 
     coords_f = (points[:, :3] - pc_range[:3]) / voxel_size
-    vx = coords_f[:, 0].astype(np.int64)
-    vy = coords_f[:, 1].astype(np.int64)
-    vz = coords_f[:, 2].astype(np.int64)
+    # floor, not int-cast: truncation maps below-range points (negative cell
+    # coords in (-1, 0)) onto edge cells instead of rejecting them
+    vx = np.floor(coords_f[:, 0]).astype(np.int64)
+    vy = np.floor(coords_f[:, 1]).astype(np.int64)
+    vz = np.floor(coords_f[:, 2]).astype(np.int64)
     in_range = (
         (vx >= 0) & (vx < nx) & (vy >= 0) & (vy < ny) & (vz >= 0) & (vz < nz)
     )
@@ -106,6 +108,77 @@ def voxelize_points(
     if pad_to_max:
         czyx = np.pad(czyx, ((0, max_voxels - num_voxels), (0, 0)), constant_values=-1)
     return voxels, czyx, num_points
+
+
+def device_hard_voxelize(points, points_mask, pc_range, voxel_size, grid_size,
+                         max_points_per_voxel: int, max_voxels: int):
+    """Device-side hard voxelization, jit-safe and scatter-free.
+
+    Produces the same (voxels, coords, num_points) contract as the host
+    voxelizer (spconv Point2Voxel role, data_processor.py:15-60) so the
+    standard padded-pillar PFN + PointPillarScatter run unchanged — but on
+    raw device-resident points.  Built for TPU: one stable argsort by cell
+    key, run starts via a second sort of first-flag positions, then a dense
+    (V, T) *gather* from the sorted points.  XLA's duplicate-index scatters
+    (the round-1 hot spot, ~0.1 us/row) are avoided entirely.
+
+    Deviations from the host path (documented): voxels emerge in cell-key
+    order rather than point-arrival order (downstream is order-invariant —
+    scatter-by-coords), and when the voxel count exceeds max_voxels the
+    lowest-keyed voxels win instead of the earliest-seen.  Point order
+    *within* a voxel is arrival order in both (stable sort), so per-voxel
+    contents are bit-equal under the cap.
+
+    Args:
+        points: (B, N, F) with xyz first.
+        points_mask: (B, N) bool validity.
+    Returns:
+        voxels (B, V, T, F) zero-padded, coords (B, V, 3) int32 zyx (-1 pad),
+        num_points (B, V) int32.
+    """
+    import jax
+
+    nx, ny, nz = int(grid_size[0]), int(grid_size[1]), int(grid_size[2])
+    T, V = int(max_points_per_voxel), int(max_voxels)
+    cells = nx * ny * nz
+    r = jnp.asarray(pc_range, dtype=points.dtype)
+    vs = jnp.asarray(voxel_size, dtype=points.dtype)
+
+    def per_sample(p, m):
+        n = p.shape[0]
+        vi = jnp.floor((p[:, :3] - r[:3]) / vs).astype(jnp.int32)
+        inb = (
+            m
+            & (vi[:, 0] >= 0) & (vi[:, 0] < nx)
+            & (vi[:, 1] >= 0) & (vi[:, 1] < ny)
+            & (vi[:, 2] >= 0) & (vi[:, 2] < nz)
+        )
+        key = jnp.where(inb, (vi[:, 2] * ny + vi[:, 1]) * nx + vi[:, 0], cells)
+        order = jnp.argsort(key, stable=True)
+        skey = key[order]
+        sp = p[order]
+        prev = jnp.concatenate([jnp.full((1,), -1, skey.dtype), skey[:-1]])
+        first = (skey != prev) & (skey != cells)
+        startpos = jnp.where(first, jnp.arange(n, dtype=jnp.int32), n)
+        sstart = jax.lax.sort(startpos)[:V]  # run starts, ascending; n = pad
+        total = jnp.sum(inb).astype(jnp.int32)
+        nxt = jnp.concatenate([sstart[1:], jnp.full((1,), n, jnp.int32)])
+        cnt = jnp.clip(jnp.minimum(nxt, total) - sstart, 0, T)
+        uvalid = sstart < n
+        ukey = skey[jnp.clip(sstart, 0, n - 1)]
+        gidx = jnp.clip(sstart[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :],
+                        0, n - 1)
+        tmask = jnp.arange(T, dtype=jnp.int32)[None, :] < cnt[:, None]
+        vox = sp[gidx] * tmask[..., None].astype(p.dtype)
+        safe = jnp.where(uvalid, ukey, 0)
+        coords = jnp.where(
+            uvalid[:, None],
+            jnp.stack([safe // (ny * nx), (safe // nx) % ny, safe % nx], axis=1),
+            -1,
+        ).astype(jnp.int32)
+        return vox, coords, jnp.where(uvalid, cnt, 0).astype(jnp.int32)
+
+    return jax.vmap(per_sample)(points, points_mask)
 
 
 def point_voxel_ids(points_xyz, pc_range, voxel_size, grid_size):

@@ -5,6 +5,8 @@ import pytest
 
 from com_tpu.data.augmentor.database_sampler import (
     DataBaseSamplerCOM2,
+    DataBaseSamplerV2,
+    split_density_groups,
     split_difficulty_groups,
 )
 from com_tpu.data.dataset import build_dataloader
@@ -90,6 +92,45 @@ def test_split_difficulty_groups_partition():
             if np.sqrt(info["box3d_lidar"][0] ** 2 + info["box3d_lidar"][1] ** 2) <= 75
         ]
         np.testing.assert_array_equal(concat, np.sort(in_range))
+
+
+def test_v2_density_split_and_equal_share_draw():
+    """Reference V2 semantics (database_sampler_v2.py:137-210): 3 distance
+    bands, keep density > band 1/3-quantile, equal-share contiguous draw."""
+    rng = np.random.RandomState(3)
+    db = make_synthetic_db_infos(rng, ["Vehicle"], per_class=300)
+    groups = split_density_groups(db, "Vehicle")
+    assert len(groups) == 3
+    box = np.stack([i["box3d_lidar"] for i in db["Vehicle"]])
+    dist = np.sqrt(box[:, 0] ** 2 + box[:, 1] ** 2)
+    density = np.array([i["num_points_in_gt"] for i in db["Vehicle"]]) / (
+        box[:, 3] * box[:, 4] * box[:, 5]
+    )
+    bands = [(dist <= 30), (dist > 30) & (dist <= 50), (dist > 50)]
+    for g, band in zip(groups, bands):
+        assert band[g].all()
+        if band.sum():
+            thr = np.sort(density[band])[int(band.sum() / 3)]
+            assert (density[g] > thr).all()
+            # bottom third dropped from the pool
+            assert len(g) <= band.sum() * 2 / 3 + 1
+
+    cfg = CfgNode({
+        "USE_CURRICULUM_AUG": True, "V2": True,
+        "SAMPLE_GROUPS": ["Vehicle:10"], "NUM_POINT_FEATURES": 5,
+        "PREPARE": {},
+    })
+    s = DataBaseSamplerV2(None, cfg, ["Vehicle"], db_infos=db,
+                          rng=np.random.RandomState(0))
+    sg = s.sample_groups["Vehicle"]
+    # fresh pointers start at group size -> first draw permutes, then reads
+    # int(10/3)+1 = 4 from each non-empty group
+    sampled = s._sample_for_class("Vehicle", sg)
+    nonempty = sum(1 for g in sg["indices"] if len(g) >= 4)
+    assert len(sampled) >= 4 * nonempty - 3  # short groups may give fewer
+    for g in range(3):
+        if len(sg["indices"][g]) >= 4:
+            assert sg["pointer"][g] == 4
 
 
 def test_com2_gaussian_pacing():
