@@ -251,6 +251,61 @@ class PVRCNN(Detector3D):
         return batch
 
 
+@DETECTORS.register
+class MPPNet(nn.Module):
+    """MPPNet second-stage-only temporal detector (detectors/mppnet.py:12-43):
+    consumes precomputed per-frame first-stage proposals
+    (batch["roi_boxes"] (B, F, P, 9+), batch["roi_scores"] (B, F, P),
+    batch["roi_labels"] (B, P)) plus multi-frame fused points, links
+    trajectories, and refines with the multi-frame transformer head.
+    Training targets are sampled in-graph; losses read
+    batch["mppnet_preds"] + batch["mppnet_targets"]."""
+
+    model_cfg: dict
+    meta: DatasetMeta
+
+    @nn.compact
+    def __call__(self, batch, train: bool = True):
+        import jax
+        import jax.numpy as jnp
+
+        from .mppnet import MPPNetHead, generate_trajectory, sample_mppnet_targets
+
+        head_cfg = self.model_cfg["ROI_HEAD"]
+        proposals = batch["roi_boxes"]  # (B, F, P, D)
+        cur = proposals[:, 0]
+        trajectory, valid_length = generate_trajectory(cur, proposals)
+
+        if train and "gt_boxes" in batch:
+            tc = head_cfg["TARGET_CONFIG"]
+            targets = sample_mppnet_targets(
+                trajectory, valid_length,
+                batch["roi_scores"][:, 0],
+                batch["roi_labels"].astype(jnp.int32),
+                batch["gt_boxes"],
+                roi_per_image=int(tc.get("ROI_PER_IMAGE", 96)),
+                fg_ratio=float(tc.get("FG_RATIO", 0.5)),
+                reg_fg_thresh=float(tc.get("REG_FG_THRESH", 0.55)),
+                cls_fg_thresh=float(tc.get("CLS_FG_THRESH", 0.75)),
+                cls_bg_thresh=float(tc.get("CLS_BG_THRESH", 0.25)),
+                sample_by_class=bool(tc.get("SAMPLE_ROI_BY_EACH_CLASS", True)),
+            )
+            batch["mppnet_targets"] = targets
+            batch["trajectory_rois"] = jax.lax.stop_gradient(
+                targets.trajectory_rois)
+            batch["valid_length"] = targets.valid_length
+            batch["roi_labels_sampled"] = targets.roi_labels
+        else:
+            batch["trajectory_rois"] = trajectory
+            batch["valid_length"] = valid_length
+            batch["roi_scores_cur"] = batch["roi_scores"][:, 0]
+            batch["roi_labels_sampled"] = batch["roi_labels"]
+
+        head = MPPNetHead(model_cfg=head_cfg, num_class=1, name="roi_head")
+        batch = head(batch, train)
+        return batch
+
+
 def build_network(model_cfg, meta: DatasetMeta):
     cls = DETECTORS.get(model_cfg["NAME"])
     return cls(model_cfg=model_cfg, meta=meta)

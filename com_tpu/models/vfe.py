@@ -266,43 +266,20 @@ class DynamicPillarVFE(nn.Module):
         xyz = points[..., :3].reshape(-1, 3)
         mflat = pmask.reshape(-1)
         flat = flat.reshape(-1)
+        pfeats = points[..., 3:].reshape(b * n, -1)
 
-        # optional: compact the segment space — sort-unique pillar ids to a
-        # fixed cap, run the PFN over compact segments, scatter to the canvas
-        # once at the end.  Measured on v5e: LOSES ~23% (sort + searchsorted
-        # over 330k keys beats the savings from 3x-smaller scatters), so off
-        # by default; the round-2 lever here is a Pallas segment kernel.
-        compact_cap = int(self.model_cfg.get("COMPACT_PILLARS", 0))
-        if compact_cap > 0:
-            return self._compact_forward(
-                batch, points, pmask, flat, b, n, nx, ny, hw, compact_cap, train
-            )
-
-        # optional: sort points by pillar id once so segment reductions run
-        # with indices_are_sorted=True.  Measured on v5e this LOSES ~4% (the
-        # argsort + reorder gathers cost more than the sorted-scatter saves),
-        # so it defaults off; kept as a knob for other TPU generations.
-        sort_points = bool(self.model_cfg.get("SORT_POINTS", False))
-        if sort_points:
-            order = jnp.argsort(seg)
-            seg = seg[order]
-            xyz = xyz[order]
-            mflat = mflat[order]
-            flat = flat[order]
-            pfeats = points[..., 3:].reshape(b * n, -1)[order]
-        else:
-            pfeats = points[..., 3:].reshape(b * n, -1)
-
-        def seg_sum(x):
-            return jax.ops.segment_sum(
-                x, seg, num_segments=num_segments, indices_are_sorted=sort_points
-            )
-
+        # Wide-op packing (v5e measured): segment/gather ops on narrow rows
+        # (<=16 B) run ~5x slower per row than 64-channel rows, so the mean
+        # statistics ride in ONE wide padded segment_sum + ONE wide gather
+        # instead of separate (N,1)/(N,3) ops.
         ones = mflat.astype(points.dtype)[:, None]
-        cnt = seg_sum(ones)
-        mean = seg_sum(xyz * ones)
-        mean = mean / jnp.clip(cnt, 1.0, None)
-        cluster_mean = mean[seg]
+        wide_in = jnp.concatenate([xyz * ones, ones], axis=-1)
+        # pad to 64 lanes: (N,4) segment ops measured 30 ms vs 8.7 ms at 64ch
+        wide_in = jnp.pad(wide_in, ((0, 0), (0, 64 - wide_in.shape[-1])))
+        wide = jax.ops.segment_sum(wide_in, seg, num_segments=num_segments)
+        back = wide[seg]  # one wide gather
+        cnt_pt = jnp.clip(back[:, 3:4], 1.0, None)
+        cluster_mean = back[:, :3] / cnt_pt
 
         cell_x = (flat % nx).astype(points.dtype) * vx + (vx / 2 + x0)
         cell_y = (flat // nx).astype(points.dtype) * vy + (vy / 2 + y0)
@@ -329,10 +306,7 @@ class DynamicPillarVFE(nn.Module):
             last = i == len(num_filters) - 1
 
             def pool(x):
-                xm = jax.ops.segment_max(
-                    x, seg, num_segments=num_segments,
-                    indices_are_sorted=sort_points,
-                )
+                xm = jax.ops.segment_max(x, seg, num_segments=num_segments)
                 xm = jnp.where(jnp.isfinite(xm), xm, jnp.zeros((), xm.dtype))
                 return xm, xm[seg]
 
@@ -341,73 +315,4 @@ class DynamicPillarVFE(nn.Module):
         # pooled is (B*H*W + 1, C): drop trash row, reshape to the BEV canvas
         c = pooled.shape[-1]
         batch["spatial_features"] = pooled[:-1].reshape(b, ny, nx, c)
-        return batch
-
-    def _compact_forward(self, batch, points, pmask, flat, b, n, nx, ny, hw,
-                         cap, train):
-        """COMPACT_PILLARS path: sort-unique pillar ids to b*cap compact
-        slots, run the PFN over the compact segment space, scatter the pooled
-        pillar features to the canvas once at the end."""
-        vx, vy, vz = self.voxel_size
-        x0, y0, z0 = self.point_cloud_range[:3]
-        int_max = jnp.iinfo(jnp.int32).max
-        dt = jnp.bfloat16 if self.model_cfg.get("MIXED_PRECISION", False) else None
-
-        seg_full = jnp.where(
-            pmask.reshape(-1),
-            flat + jnp.repeat(jnp.arange(b, dtype=jnp.int32), n) * hw,
-            int_max,
-        )
-        total_cap = b * cap
-        skeys = jnp.sort(seg_full)
-        first = jnp.concatenate(
-            [jnp.ones((1,), bool), skeys[1:] != skeys[:-1]]
-        ) & (skeys != int_max)
-        rank = jnp.cumsum(first) - 1
-        ukeys = jnp.full((total_cap,), int_max, jnp.int32)
-        ukeys = ukeys.at[jnp.where(first, rank, total_cap)].set(skeys, mode="drop")
-        uvalid = ukeys != int_max
-
-        slot = jnp.clip(jnp.searchsorted(ukeys, seg_full), 0, total_cap - 1)
-        hit = (ukeys[slot] == seg_full) & (seg_full != int_max)
-        seg = jnp.where(hit, slot, total_cap)
-        num_segments = total_cap + 1
-
-        xyz = points[..., :3].reshape(-1, 3)
-        mflat = hit
-        ones = mflat.astype(points.dtype)[:, None]
-        cnt = jax.ops.segment_sum(ones, seg, num_segments=num_segments)
-        mean = jax.ops.segment_sum(xyz * ones, seg, num_segments=num_segments)
-        mean = mean / jnp.clip(cnt, 1.0, None)
-        cluster_mean = mean[seg]
-
-        cell_x = (flat % nx).astype(points.dtype) * vx + (vx / 2 + x0)
-        cell_y = (flat // nx).astype(points.dtype) * vy + (vy / 2 + y0)
-        cell_z = jnp.full_like(cell_x, vz / 2 + z0)
-        center = jnp.stack([cell_x, cell_y, cell_z], axis=-1)
-
-        feats = decorate_points(
-            xyz, points[..., 3:].reshape(b * n, -1), center, cluster_mean,
-            self.model_cfg.get("USE_ABSLOTE_XYZ", True),
-        )
-        feats = feats * ones
-
-        pooled = None
-        for i, out in enumerate(list(self.model_cfg["NUM_FILTERS"])):
-            last = i == len(list(self.model_cfg["NUM_FILTERS"])) - 1
-
-            def pool(x):
-                xm = jax.ops.segment_max(x, seg, num_segments=num_segments)
-                xm = jnp.where(jnp.isfinite(xm), xm, jnp.zeros((), xm.dtype))
-                return xm, xm[seg]
-
-            pooled, feats = _PFNLayer(out, last, dtype=dt)(feats, mflat, pool, train)
-
-        c = pooled.shape[-1]
-        canvas = jnp.zeros((b * hw + 1, c), pooled.dtype)
-        write_idx = jnp.where(uvalid, ukeys, b * hw)
-        canvas = canvas.at[write_idx].max(
-            pooled[:total_cap] * uvalid[:, None].astype(pooled.dtype)
-        )
-        batch["spatial_features"] = canvas[:-1].reshape(b, ny, nx, c)
         return batch
