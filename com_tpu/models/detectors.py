@@ -177,17 +177,19 @@ class PVRCNN(Detector3D):
         return ROI_HEADS.get(cfg["NAME"])(model_cfg=cfg, num_class=1)
 
     def _proposals(self, batch, train: bool):
-        """Decode first-stage boxes into fixed-size proposals (train: top-P by
-        score; eval: same — NMS runs in post-processing after refinement)."""
+        """Decode first-stage boxes into fixed-size proposals with real
+        proposal-stage NMS (roi_head_template.py proposal_layer semantics:
+        score top-k prefilter, rotated-BEV NMS, NMS_POST_MAXSIZE rois)."""
         import jax
         import jax.numpy as jnp
 
         from ..ops.boxes import ResidualCoder
         from .dense_heads.anchor_head import build_anchors, decode_anchor_boxes
+        from .roi_heads.proposal_layer import proposal_layer
 
         head_cfg = self.model_cfg["DENSE_HEAD"]
-        nms_cfg = self.model_cfg.get("ROI_HEAD", {}).get("NMS_CONFIG", {})
-        num_p = int(nms_cfg.get("TRAIN_PRE" if train else "TEST_PRE", 512))
+        nms_cfg = dict(self.model_cfg.get("ROI_HEAD", {}).get("NMS_CONFIG", {}))
+        nms_cfg.update(nms_cfg.get("TRAIN" if train else "TEST", {}))
         anchors_flat, _, _, _, _ = build_anchors(
             head_cfg, list(self.meta.class_names), self.meta.grid_size,
             self.meta.point_cloud_range,
@@ -199,6 +201,16 @@ class PVRCNN(Detector3D):
         )
         boxes = jax.lax.stop_gradient(boxes)
         scores = jax.lax.stop_gradient(scores)
+        if "NMS_THRESH" in nms_cfg:
+            rois, roi_scores, roi_labels, _ = proposal_layer(
+                boxes, scores, labels,
+                nms_pre=int(nms_cfg.get("NMS_PRE_MAXSIZE", 4096)),
+                nms_post=int(nms_cfg.get("NMS_POST_MAXSIZE", 512)),
+                nms_thresh=float(nms_cfg["NMS_THRESH"]),
+                use_fast_nms=nms_cfg.get("NMS_TYPE") == "fast_nms",
+            )
+            return rois, roi_scores, roi_labels
+        num_p = int(nms_cfg.get("TRAIN_PRE" if train else "TEST_PRE", 512))
         top, idx = jax.lax.top_k(scores, num_p)
         take = jax.vmap(lambda a, i: a[i])
         return take(boxes, idx), top, take(labels, idx)
@@ -248,6 +260,57 @@ class PVRCNN(Detector3D):
             batch["roi_scores"] = top
             batch["roi_labels"] = take(roi_labels, idx)
         batch = self._build_roi_head()(batch, train)
+        return batch
+
+
+@DETECTORS.register
+class SECONDNetIoU(PVRCNN):
+    """SECOND + BEV-pooled IoU rescoring head (detectors/second_net_iou.py):
+    SECOND backbone + anchor head proposals, then SECONDHead predicts an IoU
+    per RoI from rotated RoI-aligned BEV features; eval fuses IoU and cls
+    scores (fuse_scores_by_npoints / SCORE_BY_CLASS)."""
+
+    @nn.compact
+    def __call__(self, batch, train: bool = True):
+        from ..utils.registry import ROI_HEADS
+        from . import roi_heads as _rh  # noqa: F401
+
+        batch = self._build_vfe()(batch, train)
+        batch = self._build_backbone3d()(batch, train)
+        if "spatial_features" not in batch:
+            batch = self._build_map_to_bev()(batch, train)
+        batch = self._build_backbone2d(batch["spatial_features"].shape[-1])(batch, train)
+        batch = self._build_dense_head()(batch, train)
+
+        rois, roi_scores, roi_labels = self._proposals(batch, train)
+        if train and "gt_boxes" in batch:
+            import jax.numpy as jnp
+
+            from .roi_heads.roi_targets import assign_roi_targets
+
+            roi_cfg = self.model_cfg.get("ROI_HEAD", {}).get("TARGET_CONFIG", {})
+            targets = assign_roi_targets(
+                rois, roi_scores, roi_labels,
+                jnp.ones(rois.shape[:2], bool), batch["gt_boxes"],
+                roi_per_image=int(roi_cfg.get("ROI_PER_IMAGE", 128)),
+                fg_ratio=float(roi_cfg.get("FG_RATIO", 0.5)),
+                reg_fg_thresh=float(roi_cfg.get("REG_FG_THRESH", 0.55)),
+                cls_fg_thresh=float(roi_cfg.get("CLS_FG_THRESH", 0.75)),
+                cls_bg_thresh=float(roi_cfg.get("CLS_BG_THRESH", 0.25)),
+            )
+            batch["roi_targets"] = targets
+            batch["rois"] = targets.rois
+        else:
+            batch["rois"] = rois
+            batch["roi_scores"] = roi_scores
+            batch["roi_labels"] = roi_labels
+
+        head_cfg = self.model_cfg["ROI_HEAD"]
+        head = ROI_HEADS.get(head_cfg["NAME"])(
+            model_cfg=head_cfg, num_class=1,
+            point_cloud_range=self.meta.point_cloud_range,
+            voxel_size=self.meta.voxel_size, name="roi_head")
+        batch = head(batch, train)
         return batch
 
 

@@ -33,6 +33,7 @@ class RoITargets(NamedTuple):
     cls_labels: jax.Array  # (B, R) soft iou labels in [0,1], -1 = ignore
     reg_targets: jax.Array  # (B, R, 7) canonical-frame encodings
     reg_valid: jax.Array  # (B, R) fg mask
+    gt_of_rois_src: jax.Array  # (B, R, 7) matched GT boxes in world frame
 
 
 def canonical_transform(gt_boxes, rois):
@@ -104,7 +105,8 @@ def assign_roi_targets(
         cls = jnp.where(sel_valid, cls, -1.0)
 
         reg = canonical_transform(sgt[:, :7], sroi[:, :7])
-        return (sroi, sel_valid, score[sel], label[sel], siou, cls, reg, sfg)
+        return (sroi, sel_valid, score[sel], label[sel], siou, cls, reg, sfg,
+                sgt[:, :7])
 
     outs = jax.vmap(per_sample)(rois, roi_scores, roi_labels, roi_valid, gt_boxes)
     return RoITargets(*outs)

@@ -295,7 +295,33 @@ def compute_roi_loss(batch, model_cfg):
     reg = weighted_smooth_l1(batch["rcnn_reg"], t.reg_targets, fg)
     reg_loss = reg.sum() / jnp.clip(fg.sum(), 1.0, None)
     reg_loss = reg_loss * float(lw.get("rcnn_reg_weight", 1.0))
-    return cls_loss + reg_loss, {"rcnn_loss_cls": cls_loss, "rcnn_loss_reg": reg_loss}
+    tb = {"rcnn_loss_cls": cls_loss, "rcnn_loss_reg": reg_loss}
+    total = cls_loss + reg_loss
+
+    loss_cfg = model_cfg.get("ROI_HEAD", {}).get("LOSS_CONFIG", {})
+    if loss_cfg.get("CORNER_LOSS_REGULARIZATION", False):
+        # decode fg refinements in world frame and penalize corner distance
+        # vs the matched GT (roi_head_template.py:230-247)
+        from ..ops.boxes import corner_loss as corner_loss_fn
+
+        rois = t.rois.reshape(-1, 7)
+        reg_pred = batch["rcnn_reg"].reshape(-1, batch["rcnn_reg"].shape[-1])
+        lx, ly = reg_pred[:, 0], reg_pred[:, 1]
+        cos, sin = jnp.cos(rois[:, 6]), jnp.sin(rois[:, 6])
+        gx = lx * cos - ly * sin + rois[:, 0]
+        gy = lx * sin + ly * cos + rois[:, 1]
+        boxes = jnp.stack(
+            [gx, gy, reg_pred[:, 2] + rois[:, 2],
+             reg_pred[:, 3] + rois[:, 3], reg_pred[:, 4] + rois[:, 4],
+             reg_pred[:, 5] + rois[:, 5], reg_pred[:, 6] + rois[:, 6]],
+            axis=-1)
+        per = corner_loss_fn(boxes, t.gt_of_rois_src.reshape(-1, 7), xp=jnp)
+        fgf = fg.reshape(-1)
+        c_loss = (per * fgf).sum() / jnp.clip(fgf.sum(), 1.0, None)
+        c_loss = c_loss * float(lw.get("rcnn_corner_weight", 1.0))
+        total = total + c_loss
+        tb["rcnn_loss_corner"] = c_loss
+    return total, tb
 
 
 def is_anchor_head(model_cfg) -> bool:
@@ -338,6 +364,13 @@ def make_train_step(net, model_cfg, class_names, meta, tx, fmap_hw):
                 roi_loss, roi_tb = compute_roi_loss(out, model_cfg)
                 loss = loss + roi_loss
                 tb.update(roi_tb)
+            elif "rcnn_iou" in out:  # IoU-scoring stage (SECONDNetIoU)
+                from ..models.roi_heads.second_head import second_iou_loss
+
+                iou_loss = second_iou_loss(
+                    out, model_cfg.get("ROI_HEAD", {}).get("LOSS_CONFIG", {}))
+                loss = loss + iou_loss
+                tb["rcnn_loss_iou"] = iou_loss
             if "point_cls_scores_raw" in out and "gt_boxes" in out:
                 from ..models.dense_heads.point_head import point_head_loss
 
