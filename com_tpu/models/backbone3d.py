@@ -146,3 +146,132 @@ class VoxelResBackBone8x(VoxelBackBone8x):
 
     def _stage_block(self, ch, name):
         return SparseResBlock(ch, name=name)
+
+
+class InverseConvBlock(nn.Module):
+    """Inverse sparse conv + masked BN + ReLU (spconv_unet inverseconv)."""
+
+    out_channels: int
+    stride: tuple = (2, 2, 2)
+    kernel: int = 3
+
+    @nn.compact
+    def __call__(self, feats, coords, valid, grid_lo, hi_coords, hi_valid,
+                 train: bool):
+        cin = feats.shape[-1]
+        w = self.param(
+            "kernel",
+            nn.initializers.variance_scaling(1.0, "fan_in", "normal"),
+            (self.kernel**3, cin, self.out_channels),
+            jnp.float32,
+        )
+        out = jax.vmap(
+            lambda f, c, v, hc, hv: sp.inverse_conv3d(
+                f, c, v, w, hc, hv, grid_lo, self.stride, self.kernel
+            )
+        )(feats, coords, valid, hi_coords, hi_valid)
+        out = MaskedBatchNorm()(out, mask=hi_valid, use_running_average=not train)
+        return nn.relu(out) * hi_valid[..., None].astype(out.dtype)
+
+
+def channel_reduction(x, out_channels: int):
+    """(.., C1) -> (.., C2) by summing C1/C2 groups (spconv_unet.py:150-163)."""
+    n = x.shape[:-1]
+    c1 = x.shape[-1]
+    assert c1 % out_channels == 0
+    return x.reshape(*n, out_channels, c1 // out_channels).sum(-1)
+
+
+@BACKBONES_3D.register
+class UNetV2(nn.Module):
+    """Sparse UNet encoder-decoder for point-wise features (PartA2 backbone,
+    pcdet/models/backbones_3d/spconv_unet.py:89-212): VoxelBackBone8x-shaped
+    encoder, decoder UR blocks (lateral res-block, concat with bottom,
+    channel-reduced residual, inverse conv back up the stride pyramid).
+    Emits per-voxel point_features/point_coords at input resolution plus the
+    stride-8 dense tensor for the BEV head."""
+
+    model_cfg: dict
+    input_channels: int
+    grid_size: tuple  # (nx, ny, nz)
+    voxel_size: tuple
+    point_cloud_range: tuple
+
+    @nn.compact
+    def __call__(self, batch, train: bool = True):
+        x = batch["pillar_features"]  # (B, V, C)
+        coords = batch["voxel_coords"]  # (B, V, 3) zyx
+        valid = coords[..., 0] >= 0
+        v = x.shape[1]
+        nx, ny, nz = (int(g) for g in self.grid_size)
+        grid = (nz + 1, ny, nx)
+        caps = self.model_cfg.get(
+            "VOXEL_CAPS", [v, max(v // 2, 1), max(v // 4, 1), max(v // 8, 1)]
+        )
+        chans = self.model_cfg.get("CHANNELS", [16, 32, 64, 64])
+
+        # --- encoder ---
+        x, *_ = SparseConvBlock(chans[0], name="conv_input")(
+            x, coords, valid, grid, train)
+        x, *_ = SparseConvBlock(chans[0], name="conv1")(
+            x, coords, valid, grid, train)
+        stages = [(x, coords, valid, grid)]
+        for blk in range(1, 4):
+            x, coords, valid, grid = SparseConvBlock(
+                chans[blk], stride=(2, 2, 2), out_cap=int(caps[blk]),
+                name=f"down{blk}")(x, coords, valid, grid, train)
+            for i in range(2):
+                x, coords, valid, grid = SparseConvBlock(
+                    chans[blk], name=f"subm{blk}_{i}")(x, coords, valid, grid, train)
+            stages.append((x, coords, valid, grid))
+
+        if self.model_cfg.get("RETURN_ENCODED_TENSOR", True):
+            xo, co, vo, go = SparseConvBlock(
+                128, stride=(2, 1, 1), out_cap=int(caps[3]), name="conv_out"
+            )(x, coords, valid, grid, train)
+            dense = jax.vmap(lambda f, c, m: sp.scatter_to_dense(f, c, m, go))(
+                xo, co, vo)
+            batch["encoded_spconv_tensor"] = dense
+            batch["encoded_spconv_tensor_stride"] = 8
+
+        # --- decoder (UR blocks, spconv_unet.py:141-149) ---
+        def ur_block(lateral, bottom, stage_idx, out_ch, name, inverse=True):
+            lx, lc, lv, lg = stages[stage_idx]
+            x_trans, *_ = SparseResBlock(lateral.shape[-1], name=f"{name}_t")(
+                lateral, lc, lv, lg, train)
+            cat = jnp.concatenate([bottom, x_trans], axis=-1)
+            x_m, *_ = SparseConvBlock(out_ch if not inverse else lateral.shape[-1],
+                                      name=f"{name}_m")(cat, lc, lv, lg, train)
+            x_red = channel_reduction(cat, x_m.shape[-1])
+            merged = x_m + x_red
+            if not inverse:
+                out, *_ = SparseConvBlock(out_ch, name=f"{name}_post")(
+                    merged, lc, lv, lg, train)
+                return out
+            hx, hc, hv, hg = stages[stage_idx - 1]
+            return InverseConvBlock(out_ch, name=f"{name}_inv")(
+                merged, lc, lv, lg, hc, hv, train)
+
+        x4, *_ = stages[3]
+        x_up4 = ur_block(x4, x4, 3, chans[2], "up4")          # -> stage-2 sites
+        x2 = stages[2][0]
+        x_up3 = ur_block(x2, x_up4, 2, chans[1], "up3")       # -> stage-1 sites
+        x1 = stages[1][0]
+        x_up2 = ur_block(x1, x_up3, 1, chans[0], "up2")       # -> stage-0 sites
+        x0, c0, v0, g0 = stages[0]
+        x_up1 = ur_block(x0, x_up2, 0, chans[0], "up1", inverse=False)
+
+        vx, vy, vz = self.voxel_size
+        x0c = c0.astype(x_up1.dtype)
+        centers = jnp.stack(
+            [
+                x0c[..., 2] * vx + vx / 2 + self.point_cloud_range[0],
+                x0c[..., 1] * vy + vy / 2 + self.point_cloud_range[1],
+                x0c[..., 0] * vz + vz / 2 + self.point_cloud_range[2],
+            ],
+            axis=-1,
+        )
+        batch["point_features"] = x_up1  # (B, V, 16)
+        batch["point_coords"] = centers  # (B, V, 3)
+        batch["point_valid"] = v0
+        return batch

@@ -34,6 +34,95 @@ class PointHeadSimple(nn.Module):
         return batch
 
 
+@DENSE_HEADS.register
+class PointIntraPartOffsetHead(nn.Module):
+    """Per-point fg score + intra-object part location (point_intra_part_head
+    PointIntraPartOffsetHead role, PartA2 first stage): two MLP branches over
+    the UNet point features; part targets are the canonical-box-relative
+    coordinates in [0, 1]."""
+
+    model_cfg: dict
+    num_class: int = 1
+
+    @nn.compact
+    def __call__(self, batch, train: bool = True):
+        feats = batch["point_features"]  # (B, S, C)
+        valid = batch.get("point_valid")
+
+        def branch(x, fcs, out_ch, name):
+            for i, ch in enumerate(fcs):
+                x = nn.Dense(ch, use_bias=False, name=f"{name}_fc_{i}")(x)
+                x = MaskedBatchNorm(name=f"{name}_bn_{i}")(
+                    x, mask=valid, use_running_average=not train)
+                x = nn.relu(x)
+            return nn.Dense(out_ch, name=f"{name}_out")(x)
+
+        cls = branch(feats, self.model_cfg.get("CLS_FC", [128]), self.num_class,
+                     "cls")
+        part = branch(feats, self.model_cfg.get("PART_FC", [128]), 3, "part")
+        batch["point_cls_scores_raw"] = cls.max(axis=-1)
+        batch["point_cls_preds"] = cls
+        batch["point_part_offset"] = jax.nn.sigmoid(part)
+        batch["point_part_logits"] = part
+        batch["point_cls_scores"] = jax.nn.sigmoid(cls.max(axis=-1))
+        return batch
+
+
+def point_part_targets(points, gt_boxes, extra_width=(0.2, 0.2, 0.2)):
+    """Per-point (fg, part_xyz in [0,1]) targets (point_intra_part_head
+    assign_targets: fg = inside GT; part = canonical offset / dims + 0.5)."""
+    def one(p, g):
+        gt_valid = g[:, -1] > 0
+        inside = points_in_rbbox(p, g[:, :7], xp=jnp) & gt_valid[None, :]
+        ext = jnp.concatenate(
+            [g[:, :3], g[:, 3:6] + jnp.asarray(extra_width), g[:, 6:7]], axis=1)
+        inside_ext = points_in_rbbox(p, ext, xp=jnp) & gt_valid[None, :]
+        fg = inside.any(axis=1)
+        ignore = inside_ext.any(axis=1) & ~fg  # boundary band -> label -1
+        gidx = jnp.argmax(inside, axis=1)
+        box = g[gidx]
+        shifted = p - box[:, 0:3]
+        c, s = jnp.cos(-box[:, 6]), jnp.sin(-box[:, 6])
+        lx = shifted[:, 0] * c - shifted[:, 1] * s
+        ly = shifted[:, 0] * s + shifted[:, 1] * c
+        lz = shifted[:, 2]
+        part = jnp.stack([lx, ly, lz], axis=1) / jnp.clip(box[:, 3:6], 1e-5, None) + 0.5
+        part = jnp.clip(part, 0.0, 1.0) * fg[:, None]
+        label = jnp.where(ignore, -1.0, fg.astype(jnp.float32))
+        return label, part
+
+    return jax.vmap(one)(points, gt_boxes)
+
+
+def point_part_loss(batch, extra_width=(0.2, 0.2, 0.2)):
+    """Focal fg loss + BCE part-offset loss (point_head_template
+    get_cls_layer_loss + get_part_layer_loss)."""
+    from ...losses.anchor_losses import sigmoid_ce_with_logits
+
+    logits = batch["point_cls_scores_raw"]  # (B, S)
+    part_logits = batch["point_part_logits"]  # (B, S, 3)
+    kp = batch["point_coords"]
+    kp_valid = batch.get("point_valid", jnp.ones(logits.shape, bool))
+    label, part_t = point_part_targets(kp, batch["gt_boxes"], extra_width)
+
+    fg = jnp.clip(label, 0.0, 1.0)
+    cls_valid = (label >= 0) & kp_valid
+    pred = jax.nn.sigmoid(logits)
+    alpha, gamma = 0.25, 2.0
+    alpha_w = fg * alpha + (1 - fg) * (1 - alpha)
+    pt = fg * (1 - pred) + (1 - fg) * pred
+    cls_loss = alpha_w * jnp.power(pt, gamma) * sigmoid_ce_with_logits(logits, fg)
+    cls_loss = (cls_loss * cls_valid).sum() / jnp.clip(
+        (fg * cls_valid).sum(), 1.0, None)
+
+    fg_mask = (label > 0) & kp_valid
+    part_bce = sigmoid_ce_with_logits(part_logits, part_t)
+    part_loss = (part_bce.mean(-1) * fg_mask).sum() / jnp.clip(
+        fg_mask.sum(), 1.0, None)
+    return cls_loss + part_loss, {"point_loss_cls": cls_loss,
+                                  "point_loss_part": part_loss}
+
+
 def point_head_loss(batch, extra_width=(0.2, 0.2, 0.2)):
     """Focal loss on keypoint fg/bg vs enlarged-GT membership
     (point_head_template assign_stack_targets + get_cls_layer_loss roles)."""

@@ -315,6 +315,59 @@ class SECONDNetIoU(PVRCNN):
 
 
 @DETECTORS.register
+class PartA2Net(PVRCNN):
+    """PartA2 (detectors/PartA2_net.py): UNetV2 point-wise features + part
+    offsets feed RoI-aware pooled aggregation (PartA2FCHead).  Loss =
+    RPN (anchor head) + point seg/part + RCNN cls/reg (+corner)."""
+
+    @nn.compact
+    def __call__(self, batch, train: bool = True):
+        from ..utils.registry import ROI_HEADS
+        from . import roi_heads as _rh  # noqa: F401
+        from .dense_heads.point_head import PointIntraPartOffsetHead
+
+        batch = self._build_vfe()(batch, train)
+        batch = self._build_backbone3d()(batch, train)  # UNetV2
+        if "spatial_features" not in batch:
+            batch = self._build_map_to_bev()(batch, train)
+        batch = self._build_backbone2d(batch["spatial_features"].shape[-1])(batch, train)
+        batch = self._build_dense_head()(batch, train)
+
+        pnt_cfg = self.model_cfg.get("POINT_HEAD", {})
+        batch = PointIntraPartOffsetHead(
+            model_cfg=pnt_cfg, num_class=1, name="point_head")(batch, train)
+
+        rois, roi_scores, roi_labels = self._proposals(batch, train)
+        if train and "gt_boxes" in batch:
+            import jax.numpy as jnp
+
+            from .roi_heads.roi_targets import assign_roi_targets
+
+            roi_cfg = self.model_cfg.get("ROI_HEAD", {}).get("TARGET_CONFIG", {})
+            targets = assign_roi_targets(
+                rois, roi_scores, roi_labels,
+                jnp.ones(rois.shape[:2], bool), batch["gt_boxes"],
+                roi_per_image=int(roi_cfg.get("ROI_PER_IMAGE", 128)),
+                fg_ratio=float(roi_cfg.get("FG_RATIO", 0.5)),
+                reg_fg_thresh=float(roi_cfg.get("REG_FG_THRESH", 0.55)),
+                cls_fg_thresh=float(roi_cfg.get("CLS_FG_THRESH", 0.75)),
+                cls_bg_thresh=float(roi_cfg.get("CLS_BG_THRESH", 0.25)),
+            )
+            batch["roi_targets"] = targets
+            batch["rois"] = targets.rois
+        else:
+            batch["rois"] = rois
+            batch["roi_scores"] = roi_scores
+            batch["roi_labels"] = roi_labels
+
+        head_cfg = self.model_cfg["ROI_HEAD"]
+        head = ROI_HEADS.get(head_cfg["NAME"])(
+            model_cfg=head_cfg, num_class=1, name="roi_head")
+        batch = head(batch, train)
+        return batch
+
+
+@DETECTORS.register
 class MPPNet(nn.Module):
     """MPPNet second-stage-only temporal detector (detectors/mppnet.py:12-43):
     consumes precomputed per-frame first-stage proposals

@@ -18,8 +18,11 @@ import numpy as np
 
 # Gaussian radii are integers >= MIN_RADIUS (cfg) and are clipped to
 # MAX_STAMP_RADIUS; at Waymo pillar resolution (0.32 m) typical vehicle radii
-# are <= 10 px, so 24 covers even oversized boxes.
-MAX_STAMP_RADIUS = 24
+# are 4-6 px (gaussian_radius with overlap 0.1), so 16 covers everything but
+# truly giant boxes (>10 m), whose stamps clip slightly.  Stamp cost scales
+# with (2R+1)^2 scatter elements: R=24 measured 24 ms/step at Waymo scale,
+# R=16 cuts it ~2.2x.
+MAX_STAMP_RADIUS = 16
 
 
 def gaussian_radius(height, width, min_overlap=0.5):

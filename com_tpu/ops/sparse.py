@@ -171,6 +171,51 @@ def strided_conv3d(
     return out * out_valid[:, None].astype(out.dtype), out_coords, out_valid, dgrid
 
 
+def inverse_conv3d(
+    features,  # (Vlo, Cin) low-resolution features
+    coords,  # (Vlo, 3) zyx at the DOWNSAMPLED resolution
+    valid,  # (Vlo,)
+    weights,  # (K^3, Cin, Cout)
+    hi_coords,  # (Vhi, 3) zyx target (pre-downsample) sites
+    hi_valid,  # (Vhi,)
+    grid_lo_zyx,  # static low-res grid
+    stride=(2, 2, 2),
+    kernel: int = 3,
+):
+    """SparseInverseConv3d role (spconv_unet.py inverseconv blocks): output at
+    the known higher-resolution site set; output site c gathers the low-res
+    site l = (c - off) // s for each kernel offset where (c - off) is
+    divisible by the stride — the exact transpose of strided_conv3d's
+    in = s * out + off rulebook."""
+    cout = weights.shape[-1]
+    vlo = features.shape[0]
+    sorted_keys, order = build_hash(coords, valid, grid_lo_zyx)
+    offs = _offsets(kernel)
+    nzl, nyl, nxl = (int(g) for g in grid_lo_zyx)
+    s = jnp.asarray(stride, jnp.int32)
+
+    feats_pad = jnp.concatenate(
+        [features * valid[:, None].astype(features.dtype),
+         jnp.zeros((1, features.shape[1]), features.dtype)], axis=0
+    )
+    out = jnp.zeros((hi_coords.shape[0], cout), features.dtype)
+    for k, off in enumerate(offs):
+        shifted = hi_coords - jnp.asarray(off, jnp.int32)
+        divisible = (shifted % s[None, :] == 0).all(axis=1)
+        lo = shifted // s[None, :]
+        inb = (
+            divisible & hi_valid
+            & (lo[:, 0] >= 0) & (lo[:, 0] < nzl)
+            & (lo[:, 1] >= 0) & (lo[:, 1] < nyl)
+            & (lo[:, 2] >= 0) & (lo[:, 2] < nxl)
+        )
+        qkeys = flat_key(lo, grid_lo_zyx, inb)
+        nidx = lookup(sorted_keys, order, qkeys)
+        gathered = feats_pad[jnp.where(nidx >= 0, nidx, vlo)]
+        out = out + jnp.dot(gathered, weights[k], preferred_element_type=out.dtype)
+    return out * hi_valid[:, None].astype(out.dtype)
+
+
 def scatter_to_dense(features, coords, valid, grid_zyx):
     """(V, C) sparse -> (D, H, W, C) dense (for HeightCompression)."""
     nz, ny, nx = (int(g) for g in grid_zyx)

@@ -371,7 +371,13 @@ def make_train_step(net, model_cfg, class_names, meta, tx, fmap_hw):
                     out, model_cfg.get("ROI_HEAD", {}).get("LOSS_CONFIG", {}))
                 loss = loss + iou_loss
                 tb["rcnn_loss_iou"] = iou_loss
-            if "point_cls_scores_raw" in out and "gt_boxes" in out:
+            if "point_part_logits" in out and "gt_boxes" in out:
+                from ..models.dense_heads.point_head import point_part_loss
+
+                p_loss, p_tb = point_part_loss(out)
+                loss = loss + p_loss
+                tb.update(p_tb)
+            elif "point_cls_scores_raw" in out and "gt_boxes" in out:
                 from ..models.dense_heads.point_head import point_head_loss
 
                 p_loss = point_head_loss(out)
