@@ -68,6 +68,106 @@ class PointIntraPartOffsetHead(nn.Module):
         return batch
 
 
+@DENSE_HEADS.register
+class PointHeadBox(nn.Module):
+    """Point-wise cls + box regression head (point_head_box.py PointHeadBox,
+    PointRCNN first stage): per-point class scores and a PointResidualCoder
+    box per point; foreground points' decoded boxes become the proposals."""
+
+    model_cfg: dict
+    num_class: int = 3
+
+    @nn.compact
+    def __call__(self, batch, train: bool = True):
+        from ...ops.boxes import PointResidualCoder
+
+        feats = batch["point_features"]
+        valid = batch.get("point_valid")
+
+        def branch(x, fcs, out_ch, name):
+            for i, ch in enumerate(fcs):
+                x = nn.Dense(ch, use_bias=False, name=f"{name}_fc_{i}")(x)
+                x = MaskedBatchNorm(name=f"{name}_bn_{i}")(
+                    x, mask=valid, use_running_average=not train)
+                x = nn.relu(x)
+            return nn.Dense(out_ch, name=f"{name}_out")(x)
+
+        cls = branch(feats, self.model_cfg.get("CLS_FC", [256, 256]),
+                     self.num_class, "cls")
+        coder = PointResidualCoder(
+            **self.model_cfg.get("TARGET_CONFIG", {}).get("BOX_CODER_CONFIG", {})
+        )
+        box = branch(feats, self.model_cfg.get("REG_FC", [256, 256]),
+                     coder.code_size, "box")
+
+        batch["point_cls_preds"] = cls  # (B, N, num_class)
+        batch["point_box_preds_raw"] = box
+        batch["point_cls_scores"] = jax.nn.sigmoid(cls.max(axis=-1))
+        pred_classes = cls.argmax(axis=-1) + 1
+        batch["point_box_preds"] = coder.decode(
+            box, batch["point_coords"], pred_classes, xp=jnp)
+        batch["point_pred_labels"] = pred_classes
+        return batch
+
+
+def point_head_box_loss(batch, model_cfg):
+    """PointHeadBox losses (point_head_template get_cls_layer_loss +
+    get_box_layer_loss): focal cls on per-point class targets (in-box
+    membership, enlarged-box band ignored) + smooth-l1 on coder encodings
+    for foreground points."""
+    from ...losses.anchor_losses import sigmoid_ce_with_logits
+    from ...ops.boxes import PointResidualCoder, points_in_rbbox
+
+    tc = model_cfg.get("TARGET_CONFIG", {})
+    extra = tuple(tc.get("GT_EXTRA_WIDTH", [0.2, 0.2, 0.2]))
+    coder = PointResidualCoder(**tc.get("BOX_CODER_CONFIG", {}))
+
+    logits = batch["point_cls_preds"]  # (B, N, C)
+    box_raw = batch["point_box_preds_raw"]
+    pts = batch["point_coords"]
+    pvalid = batch.get("point_valid", jnp.ones(pts.shape[:2], bool))
+    gt = batch["gt_boxes"]
+    num_class = logits.shape[-1]
+
+    def targets_one(p, g):
+        gt_valid = g[:, -1] > 0
+        inside = points_in_rbbox(p, g[:, :7], xp=jnp) & gt_valid[None, :]
+        ext = jnp.concatenate(
+            [g[:, :3], g[:, 3:6] + jnp.asarray(extra), g[:, 6:7]], axis=1)
+        inside_ext = points_in_rbbox(p, ext, xp=jnp) & gt_valid[None, :]
+        fg = inside.any(axis=1)
+        ignore = inside_ext.any(axis=1) & ~fg
+        gidx = jnp.argmax(inside, axis=1)
+        box = g[gidx]
+        cls_t = jnp.where(fg, box[:, -1].astype(jnp.int32), 0)
+        cls_t = jnp.where(ignore, -1, cls_t)
+        enc = coder.encode(box[:, :7], p, jnp.maximum(cls_t, 1), xp=jnp)
+        return cls_t, enc
+
+    cls_t, enc_t = jax.vmap(targets_one)(pts, gt)
+    one_hot = jax.nn.one_hot(jnp.clip(cls_t, 0, None), num_class + 1)[..., 1:]
+    cls_valid = (cls_t >= 0) & pvalid
+    pred = jax.nn.sigmoid(logits)
+    alpha, gamma = 0.25, 2.0
+    alpha_w = one_hot * alpha + (1 - one_hot) * (1 - alpha)
+    pt = one_hot * (1 - pred) + (1 - one_hot) * pred
+    per = alpha_w * jnp.power(pt, gamma) * sigmoid_ce_with_logits(logits, one_hot)
+    pos = ((cls_t > 0) & pvalid).sum()
+    cls_loss = (per.sum(-1) * cls_valid).sum() / jnp.clip(pos, 1, None)
+
+    fg = ((cls_t > 0) & pvalid).astype(jnp.float32)
+    d = (box_raw - enc_t)
+    ad = jnp.abs(d)
+    beta = 1.0 / 9.0
+    sl1 = jnp.where(ad < beta, 0.5 * d**2 / beta, ad - 0.5 * beta).sum(-1)
+    box_loss = (sl1 * fg).sum() / jnp.clip(fg.sum(), 1.0, None)
+
+    lw = model_cfg.get("LOSS_CONFIG", {}).get("LOSS_WEIGHTS", {})
+    total = (cls_loss * float(lw.get("point_cls_weight", 1.0))
+             + box_loss * float(lw.get("point_box_weight", 1.0)))
+    return total, {"point_loss_cls": cls_loss, "point_loss_box": box_loss}
+
+
 def point_part_targets(points, gt_boxes, extra_width=(0.2, 0.2, 0.2)):
     """Per-point (fg, part_xyz in [0,1]) targets (point_intra_part_head
     assign_targets: fg = inside GT; part = canonical offset / dims + 0.5)."""

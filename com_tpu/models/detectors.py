@@ -368,6 +368,125 @@ class PartA2Net(PVRCNN):
 
 
 @DETECTORS.register
+class VoxelRCNN(PVRCNN):
+    """Voxel-RCNN (detectors/voxel_rcnn.py): SECOND-style sparse backbone +
+    anchor/center proposals, second stage pools multi-scale sparse voxel
+    features via voxel queries (VoxelRCNNHead)."""
+
+    @nn.compact
+    def __call__(self, batch, train: bool = True):
+        import jax.numpy as jnp
+
+        from ..utils.registry import ROI_HEADS
+        from . import roi_heads as _rh  # noqa: F401
+
+        batch = self._build_vfe()(batch, train)
+        batch = self._build_backbone3d()(batch, train)
+        if "spatial_features" not in batch:
+            batch = self._build_map_to_bev()(batch, train)
+        batch = self._build_backbone2d(batch["spatial_features"].shape[-1])(batch, train)
+        batch = self._build_dense_head()(batch, train)
+
+        rois, roi_scores, roi_labels = self._proposals(batch, train)
+        if train and "gt_boxes" in batch:
+            from .roi_heads.roi_targets import assign_roi_targets
+
+            roi_cfg = self.model_cfg.get("ROI_HEAD", {}).get("TARGET_CONFIG", {})
+            targets = assign_roi_targets(
+                rois, roi_scores, roi_labels,
+                jnp.ones(rois.shape[:2], bool), batch["gt_boxes"],
+                roi_per_image=int(roi_cfg.get("ROI_PER_IMAGE", 128)),
+                fg_ratio=float(roi_cfg.get("FG_RATIO", 0.5)),
+                reg_fg_thresh=float(roi_cfg.get("REG_FG_THRESH", 0.55)),
+                cls_fg_thresh=float(roi_cfg.get("CLS_FG_THRESH", 0.75)),
+                cls_bg_thresh=float(roi_cfg.get("CLS_BG_THRESH", 0.25)),
+            )
+            batch["roi_targets"] = targets
+            batch["rois"] = targets.rois
+        else:
+            batch["rois"] = rois
+            batch["roi_scores"] = roi_scores
+            batch["roi_labels"] = roi_labels
+
+        head_cfg = self.model_cfg["ROI_HEAD"]
+        head = ROI_HEADS.get(head_cfg["NAME"])(
+            model_cfg=head_cfg, num_class=1,
+            point_cloud_range=self.meta.point_cloud_range,
+            voxel_size=self.meta.voxel_size, name="roi_head")
+        batch = head(batch, train)
+        return batch
+
+
+@DETECTORS.register
+class PointRCNN(PVRCNN):
+    """PointRCNN (detectors/point_rcnn.py): PointNet2MSG features ->
+    PointHeadBox per-point proposals -> NMS -> PointRCNNHead canonical-frame
+    refinement over pooled member points."""
+
+    @nn.compact
+    def __call__(self, batch, train: bool = True):
+        import jax
+        import jax.numpy as jnp
+
+        from ..utils.registry import ROI_HEADS
+        from . import pointnet2_backbone as _pn2  # noqa: F401 (register)
+        from . import roi_heads as _rh  # noqa: F401
+        from .dense_heads.point_head import PointHeadBox
+        from .roi_heads.proposal_layer import proposal_layer
+
+        b3d_cfg = self.model_cfg["BACKBONE_3D"]
+        backbone = BACKBONES_3D.get(b3d_cfg["NAME"])(
+            model_cfg=b3d_cfg, input_channels=self.meta.num_point_features,
+            name="backbone_3d")
+        batch = backbone(batch, train)
+
+        head_cfg = self.model_cfg["POINT_HEAD"]
+        batch = PointHeadBox(
+            model_cfg=head_cfg, num_class=len(self.meta.class_names),
+            name="point_head")(batch, train)
+
+        boxes = jax.lax.stop_gradient(batch["point_box_preds"])
+        scores = jax.lax.stop_gradient(batch["point_cls_scores"])
+        scores = jnp.where(batch.get("point_valid", True), scores, -jnp.inf)
+        labels = batch["point_pred_labels"]
+
+        nms_cfg = dict(self.model_cfg.get("ROI_HEAD", {}).get("NMS_CONFIG", {}))
+        nms_cfg.update(nms_cfg.get("TRAIN" if train else "TEST", {}))
+        rois, roi_scores, roi_labels, _ = proposal_layer(
+            boxes, scores, labels.astype(jnp.int32),
+            nms_pre=int(nms_cfg.get("NMS_PRE_MAXSIZE", 4096)),
+            nms_post=int(nms_cfg.get("NMS_POST_MAXSIZE", 512)),
+            nms_thresh=float(nms_cfg.get("NMS_THRESH", 0.8)),
+            use_fast_nms=nms_cfg.get("NMS_TYPE") == "fast_nms",
+        )
+        if train and "gt_boxes" in batch:
+            from .roi_heads.roi_targets import assign_roi_targets
+
+            roi_cfg = self.model_cfg.get("ROI_HEAD", {}).get("TARGET_CONFIG", {})
+            targets = assign_roi_targets(
+                rois, roi_scores, roi_labels,
+                jnp.ones(rois.shape[:2], bool), batch["gt_boxes"],
+                roi_per_image=int(roi_cfg.get("ROI_PER_IMAGE", 128)),
+                fg_ratio=float(roi_cfg.get("FG_RATIO", 0.5)),
+                reg_fg_thresh=float(roi_cfg.get("REG_FG_THRESH", 0.55)),
+                cls_fg_thresh=float(roi_cfg.get("CLS_FG_THRESH", 0.6)),
+                cls_bg_thresh=float(roi_cfg.get("CLS_BG_THRESH", 0.45)),
+            )
+            batch["roi_targets"] = targets
+            batch["rois"] = targets.rois
+        else:
+            batch["rois"] = rois
+            batch["roi_scores"] = roi_scores
+            batch["roi_labels"] = roi_labels
+
+        rh_cfg = self.model_cfg["ROI_HEAD"]
+        head = ROI_HEADS.get(rh_cfg["NAME"])(
+            model_cfg=rh_cfg, num_class=1, name="roi_head")
+        batch = head(batch, train)
+        return batch
+
+
+@DETECTORS.register
 class MPPNet(nn.Module):
     """MPPNet second-stage-only temporal detector (detectors/mppnet.py:12-43):
     consumes precomputed per-frame first-stage proposals

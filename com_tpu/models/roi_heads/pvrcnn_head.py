@@ -81,7 +81,4 @@ class PVRCNNHead(nn.Module):
         return batch
 
 
-@ROI_HEADS.register
-class VoxelRCNNHead(PVRCNNHead):
-    """Voxel-RCNN style head; uses the same keypoint grid pooling here (the
-    reference pools from voxel queries — functional role preserved)."""
+# VoxelRCNNHead lives in voxelrcnn_head.py (real voxel-query grid pooling).

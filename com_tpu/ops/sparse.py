@@ -50,10 +50,15 @@ def build_hash(coords, valid, grid_zyx):
 
 
 def lookup(sorted_keys, order, query_keys):
-    """Indices into the ORIGINAL array for each query key; -1 if absent."""
+    """Indices into the ORIGINAL array for each query key; -1 if absent.
+
+    Invalid queries carry the INT32_MAX sentinel, which must never "match"
+    the INT32_MAX rows of invalid table entries."""
     pos = jnp.searchsorted(sorted_keys, query_keys)
     pos = jnp.clip(pos, 0, sorted_keys.shape[0] - 1)
-    hit = sorted_keys[pos] == query_keys
+    hit = (sorted_keys[pos] == query_keys) & (
+        query_keys != jnp.iinfo(jnp.int32).max
+    )
     idx = order[pos]
     return jnp.where(hit, idx, -1)
 
@@ -214,6 +219,64 @@ def inverse_conv3d(
         gathered = feats_pad[jnp.where(nidx >= 0, nidx, vlo)]
         out = out + jnp.dot(gathered, weights[k], preferred_element_type=out.dtype)
     return out * hi_valid[:, None].astype(out.dtype)
+
+
+def voxel_query(
+    query_vox,  # (S, 3) float voxel-space coords (z, y, x) of query points
+    coords,  # (V, 3) int zyx voxel coords at this scale
+    valid,  # (V,)
+    grid_zyx,  # static grid at this scale
+    max_range: int = 4,
+    radius_vox: float = 4.0,
+    nsample: int = 16,
+):
+    """Voxel neighborhood query (pointnet2_stack voxel_query_utils role,
+    used by VoxelRCNN grid pooling): for each query, the first ``nsample``
+    occupied voxels within ``max_range`` cells and ``radius_vox`` distance,
+    enumerated center-outward like the CUDA kernel.
+
+    Returns (idx (S, nsample) int32 into coords, empty (S,) bool).
+    A lax.scan walks the distance-sorted offset list so the unrolled graph
+    stays small; hits fill each query's buffer in offset order.
+    """
+    sorted_keys, order = build_hash(coords, valid, grid_zyx)
+    r = int(max_range)
+    offs = np.stack(
+        np.meshgrid(*([np.arange(-r, r + 1)] * 3), indexing="ij"), axis=-1
+    ).reshape(-1, 3)
+    d2 = (offs**2).sum(1)
+    keep = d2 <= radius_vox * radius_vox
+    offs = offs[keep][np.argsort(d2[keep], kind="stable")]
+    offs = jnp.asarray(offs, jnp.int32)
+
+    s = query_vox.shape[0]
+    base = jnp.round(query_vox).astype(jnp.int32)
+    nz, ny, nx = (int(g) for g in grid_zyx)
+
+    def step(carry, off):
+        cnt, buf = carry
+        nc = base + off[None, :]
+        inb = (
+            (nc[:, 0] >= 0) & (nc[:, 0] < nz)
+            & (nc[:, 1] >= 0) & (nc[:, 1] < ny)
+            & (nc[:, 2] >= 0) & (nc[:, 2] < nx)
+        )
+        qk = flat_key(nc, grid_zyx, inb)
+        nidx = lookup(sorted_keys, order, qk)
+        hit = (nidx >= 0) & (cnt < nsample)
+        slot = jnp.clip(cnt, 0, nsample - 1)
+        buf = buf.at[jnp.arange(s), slot].set(
+            jnp.where(hit, nidx, buf[jnp.arange(s), slot])
+        )
+        return (cnt + hit.astype(jnp.int32), buf), None
+
+    init = (jnp.zeros((s,), jnp.int32), jnp.zeros((s, nsample), jnp.int32))
+    (cnt, buf), _ = jax.lax.scan(step, init, offs)
+    empty = cnt == 0
+    # pad unfilled slots with the first hit (CUDA kernel repeats slot 0)
+    filled = jnp.arange(nsample)[None, :] < jnp.maximum(cnt, 1)[:, None]
+    buf = jnp.where(filled, buf, buf[:, :1])
+    return buf, empty
 
 
 def scatter_to_dense(features, coords, valid, grid_zyx):

@@ -352,7 +352,15 @@ def make_train_step(net, model_cfg, class_names, meta, tx, fmap_hw):
         def loss_fn(params):
             variables = {"params": params, "batch_stats": state.batch_stats}
             out, mut = net.apply(variables, dict(batch), train=True, mutable=["batch_stats"])
-            if anchor_path:
+            if "DENSE_HEAD" not in model_cfg:
+                # point-proposal detectors (PointRCNN): no dense-head loss
+                zero = jnp.zeros((len(class_names), 1))
+                loss = jnp.zeros(())
+                new_cur = state.curriculum
+                aux_list = [CurriculumAux(zero, zero, jnp.zeros(()),
+                                          jnp.zeros((1, 1)))]
+                tb = {}
+            elif anchor_path:
                 loss, new_cur, aux_list, tb = compute_anchor_loss(
                     out, model_cfg, class_names, meta, state.curriculum, epoch
                 )
@@ -371,7 +379,14 @@ def make_train_step(net, model_cfg, class_names, meta, tx, fmap_hw):
                     out, model_cfg.get("ROI_HEAD", {}).get("LOSS_CONFIG", {}))
                 loss = loss + iou_loss
                 tb["rcnn_loss_iou"] = iou_loss
-            if "point_part_logits" in out and "gt_boxes" in out:
+            if "point_box_preds_raw" in out and "gt_boxes" in out:
+                from ..models.dense_heads.point_head import point_head_box_loss
+
+                p_loss, p_tb = point_head_box_loss(
+                    out, model_cfg.get("POINT_HEAD", {}))
+                loss = loss + p_loss
+                tb.update(p_tb)
+            elif "point_part_logits" in out and "gt_boxes" in out:
                 from ..models.dense_heads.point_head import point_part_loss
 
                 p_loss, p_tb = point_part_loss(out)
