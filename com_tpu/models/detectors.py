@@ -264,6 +264,64 @@ class PVRCNN(Detector3D):
 
 
 @DETECTORS.register
+class PVRCNNPlusPlus(PVRCNN):
+    """PV-RCNN++ (detectors/pv_rcnn_plusplus.py): proposals are generated
+    BEFORE keypoint extraction so the VSA can do sectorized proposal-centric
+    sampling; keypoint aggregation and RoI grid pooling use VectorPool
+    local-structure features."""
+
+    @nn.compact
+    def __call__(self, batch, train: bool = True):
+        import jax.numpy as jnp
+
+        from ..utils.registry import ROI_HEADS
+        from . import roi_heads as _rh  # noqa: F401
+
+        batch = self._build_vfe()(batch, train)
+        batch = self._build_backbone3d()(batch, train)
+        if "spatial_features" not in batch:
+            batch = self._build_map_to_bev()(batch, train)
+        batch = self._build_backbone2d(batch["spatial_features"].shape[-1])(batch, train)
+        batch = self._build_dense_head()(batch, train)
+
+        # proposals first (pv_rcnn_plusplus.py:16-27)
+        rois, roi_scores, roi_labels = self._proposals(batch, train)
+        if train and "gt_boxes" in batch:
+            from .roi_heads.roi_targets import assign_roi_targets
+
+            roi_cfg = self.model_cfg.get("ROI_HEAD", {}).get("TARGET_CONFIG", {})
+            targets = assign_roi_targets(
+                rois, roi_scores, roi_labels,
+                jnp.ones(rois.shape[:2], bool), batch["gt_boxes"],
+                roi_per_image=int(roi_cfg.get("ROI_PER_IMAGE", 128)),
+                fg_ratio=float(roi_cfg.get("FG_RATIO", 0.5)),
+                reg_fg_thresh=float(roi_cfg.get("REG_FG_THRESH", 0.55)),
+                cls_fg_thresh=float(roi_cfg.get("CLS_FG_THRESH", 0.75)),
+                cls_bg_thresh=float(roi_cfg.get("CLS_BG_THRESH", 0.25)),
+            )
+            batch["roi_targets"] = targets
+            batch["rois"] = targets.rois
+        else:
+            batch["rois"] = rois
+            batch["roi_scores"] = roi_scores
+            batch["roi_labels"] = roi_labels
+
+        batch = self._build_pfe()(batch, train)  # SPC sampling sees rois
+
+        pnt_cfg = self.model_cfg.get("POINT_HEAD")
+        if pnt_cfg is not None:
+            from .dense_heads.point_head import PointHeadSimple
+
+            batch = PointHeadSimple(model_cfg=pnt_cfg, name="point_head")(batch, train)
+
+        head_cfg = self.model_cfg["ROI_HEAD"]
+        head = ROI_HEADS.get(head_cfg["NAME"])(
+            model_cfg=head_cfg, num_class=1, name="roi_head")
+        batch = head(batch, train)
+        return batch
+
+
+@DETECTORS.register
 class SECONDNetIoU(PVRCNN):
     """SECOND + BEV-pooled IoU rescoring head (detectors/second_net_iou.py):
     SECOND backbone + anchor head proposals, then SECONDHead predicts an IoU

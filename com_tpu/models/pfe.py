@@ -64,12 +64,31 @@ class VoxelSetAbstraction(nn.Module):
         pmask = batch["points_mask"]
         b = points.shape[0]
 
-        # keypoints by FPS over raw xyz (sector-FPS simplification: plain FPS)
-        def sample_one(p, m):
+        # keypoints: plain FPS or sectorized-proposal-centric sampling
+        # (voxel_set_abstraction.py:206-282 'SPC': restrict to points near
+        # RoIs via sample_points_with_roi, then sector_fps)
+        sample_method = cfg.get("SAMPLE_METHOD", "FPS")
+        spc_cfg = cfg.get("SPC_SAMPLING", {})
+        num_sectors = int(spc_cfg.get("NUM_SECTORS", 6))
+        roi_radius = float(spc_cfg.get("SAMPLE_RADIUS_WITH_ROI", 1.6))
+        rois = batch.get("rois") if sample_method == "SPC" else None
+
+        def sample_one(p, m, ro=None):
+            if sample_method == "SPC":
+                if ro is not None:
+                    roi_valid = jnp.abs(ro[:, 3:6]).sum(-1) > 0
+                    m = pn2.sample_points_with_roi(
+                        ro[:, :7], roi_valid, p[:, :3], m, roi_radius)
+                idx, kv = pn2.sector_fps(p[:, :3], m, num_keypoints,
+                                         num_sectors)
+                return p[idx, :3], kv
             idx = pn2.farthest_point_sample(p[:, :3], m, num_keypoints)
             return p[idx, :3], m[idx]
 
-        keypoints, kp_valid = jax.vmap(sample_one)(points, pmask)
+        if rois is not None:
+            keypoints, kp_valid = jax.vmap(sample_one)(points, pmask, rois)
+        else:
+            keypoints, kp_valid = jax.vmap(sample_one)(points, pmask)
         batch["point_coords"] = keypoints  # (B, S, 3)
 
         feats = []

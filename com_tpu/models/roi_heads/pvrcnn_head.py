@@ -82,3 +82,68 @@ class PVRCNNHead(nn.Module):
 
 
 # VoxelRCNNHead lives in voxelrcnn_head.py (real voxel-query grid pooling).
+
+
+@ROI_HEADS.register
+class PVRCNNPlusPlusHead(nn.Module):
+    """PV-RCNN++ RoI head: grid points aggregate keypoint features through
+    VectorPool local-structure pooling instead of ball-query PointNets
+    (pvrcnn_head.py with VectorPoolAggregationModuleMSG, pointnet2_stack
+    vector_pool ops)."""
+
+    model_cfg: dict
+    num_class: int = 1
+
+    @nn.compact
+    def __call__(self, batch, train: bool = True):
+        cfg = self.model_cfg
+        pool_cfg = cfg.get("ROI_GRID_POOL", {})
+        grid_size = int(pool_cfg.get("GRID_SIZE", 6))
+        groups_cfg = pool_cfg.get("GROUPS", [
+            {"NUM_LOCAL_VOXEL": [2, 2, 2], "MAX_NEIGHBOR_DISTANCE": 0.8,
+             "NEIGHBOR_NSAMPLE": 32, "POST_MLPS": [64, 64]},
+            {"NUM_LOCAL_VOXEL": [3, 3, 3], "MAX_NEIGHBOR_DISTANCE": 1.6,
+             "NEIGHBOR_NSAMPLE": 32, "POST_MLPS": [64, 64]},
+        ])
+        agg_type = pool_cfg.get("LOCAL_AGGREGATION_TYPE", "local_interpolation")
+        fc_sizes = list(cfg.get("SHARED_FC", [256, 256]))
+
+        rois = batch["rois"]
+        kp = batch["point_coords"]
+        kp_feats = batch["point_features"]
+        kp_valid = batch.get("point_valid")
+        if kp_valid is None:
+            kp_valid = jnp.ones(kp.shape[:2], bool)
+        b, r = rois.shape[:2]
+        g3 = grid_size**3
+
+        grids = jax.vmap(lambda ro: roi_grid_points(ro, grid_size))(rois)
+        grids = grids.reshape(b, r * g3, 3)
+
+        group_feats = []
+        for gi, gc in enumerate(groups_cfg):
+            def pool_one(k, f, v, q, gc=gc):
+                return pn2.vector_pool_features(
+                    k, f, v, q, gc["NUM_LOCAL_VOXEL"],
+                    float(gc["MAX_NEIGHBOR_DISTANCE"]),
+                    int(gc.get("NEIGHBOR_NSAMPLE", 32)), agg_type)
+
+            pooled, empty = jax.vmap(pool_one)(kp, kp_feats, kp_valid, grids)
+            x = pooled
+            for li, ch in enumerate(list(gc.get("POST_MLPS", [64]))):
+                x = nn.Dense(ch, use_bias=False, name=f"g{gi}_mlp_{li}")(x)
+                x = MaskedBatchNorm(name=f"g{gi}_bn_{li}")(
+                    x, mask=~empty, use_running_average=not train)
+                x = nn.relu(x)
+            group_feats.append(x * (~empty)[..., None].astype(x.dtype))
+
+        x = jnp.concatenate(group_feats, axis=-1)  # (B, R*G3, C)
+        x = x.reshape(b, r, g3 * x.shape[-1])
+        for i, ch in enumerate(fc_sizes):
+            x = nn.Dense(ch, use_bias=False, name=f"shared_fc_{i}")(x)
+            x = MaskedBatchNorm(name=f"shared_bn_{i}")(
+                x, use_running_average=not train)
+            x = nn.relu(x)
+        batch["rcnn_cls"] = nn.Dense(self.num_class, name="rcnn_cls")(x)[..., 0]
+        batch["rcnn_reg"] = nn.Dense(7, name="rcnn_reg")(x)
+        return batch

@@ -46,6 +46,108 @@ def farthest_point_sample(xyz, valid, num_samples: int):
     return idxs
 
 
+def sector_fps(xyz, valid, num_sampled_points: int, num_sectors: int):
+    """Sector-partitioned FPS (voxel_set_abstraction.py:78-123 sector_fps):
+    points are split into azimuth sectors and FPS runs per sector so distant
+    sectors keep coverage.  Static-shape variant: each sector contributes an
+    equal share num_sampled/num_sectors (the reference draws proportional,
+    data-dependent counts — documented deviation); empty sectors yield
+    invalid slots.  Returns (idx (num_sampled,), valid (num_sampled,))."""
+    share = num_sampled_points // num_sectors
+    rem = num_sampled_points - share * num_sectors
+    angles = jnp.arctan2(xyz[:, 1], xyz[:, 0]) + jnp.pi
+    sector = jnp.clip(
+        jnp.floor(angles / (2 * jnp.pi / num_sectors)), 0, num_sectors - 1
+    ).astype(jnp.int32)
+    idx_parts, val_parts = [], []
+    for k in range(num_sectors):
+        m = valid & (sector == k)
+        n = share + (rem if k == 0 else 0)
+        idx = farthest_point_sample(xyz, m, n)
+        idx_parts.append(idx)
+        val_parts.append(m[idx] & m.any())
+    return jnp.concatenate(idx_parts), jnp.concatenate(val_parts)
+
+
+def sample_points_with_roi(rois, roi_valid, xyz, valid,
+                           sample_radius_with_roi: float):
+    """Mask of points within (roi bev radius + margin) of any RoI center
+    (voxel_set_abstraction.py:45-76 sample_points_with_roi role)."""
+    d2 = square_distance(xyz, rois[:, 0:3])  # (N, R)
+    roi_r = jnp.linalg.norm(rois[:, 3:6] / 2, axis=-1) + sample_radius_with_roi
+    near = d2 < (roi_r[None, :] ** 2)
+    near = near & roi_valid[None, :]
+    return near.any(axis=1) & valid
+
+
+def vector_pool_features(xyz, feats, valid, new_xyz, num_local_voxel,
+                         max_neighbor_distance: float, nsample: int,
+                         aggregation: str = "local_interpolation"):
+    """VectorPool local-structure features (pointnet2_stack vector_pool ops,
+    PV-RCNN++ VectorPoolAggregationModule core): partition each query's
+    (2d)^3 cube into nx*ny*nz sub-voxels and produce per-sub-voxel features
+    — either the mean of member neighbors ('voxel_avg_pool') or 3-NN
+    inverse-distance interpolation at the sub-voxel centers
+    ('local_interpolation').  Returns (S, V3 * (3 + C)) with relative-xyz
+    positional channels, zeroed for empty queries.
+    """
+    nxv, nyv, nzv = (int(v) for v in num_local_voxel)
+    v3 = nxv * nyv * nzv
+    d = float(max_neighbor_distance)
+    s = new_xyz.shape[0]
+    c = feats.shape[-1]
+
+    idx, empty = ball_query(d, nsample, xyz, new_xyz, valid)
+    nx_xyz = xyz[idx]  # (S, K, 3)
+    nf = feats[idx]
+    rel = nx_xyz - new_xyz[:, None, :]
+    hit = jnp.linalg.norm(rel, axis=-1) <= d
+    hit = hit & (~empty)[:, None]
+
+    # sub-voxel centers of the local cube, in relative coords
+    def centers_1d(n):
+        return (jnp.arange(n, dtype=xyz.dtype) + 0.5) / n * (2 * d) - d
+
+    cx, cy, cz = centers_1d(nxv), centers_1d(nyv), centers_1d(nzv)
+    grid = jnp.stack(jnp.meshgrid(cx, cy, cz, indexing="ij"), axis=-1)
+    grid = grid.reshape(v3, 3)  # (V3, 3) relative centers
+
+    if aggregation == "voxel_avg_pool":
+        cell = jnp.floor((rel + d) / (2 * d) * jnp.asarray(
+            [nxv, nyv, nzv], xyz.dtype))
+        cell = jnp.clip(cell, 0, jnp.asarray([nxv - 1, nyv - 1, nzv - 1],
+                                             xyz.dtype)).astype(jnp.int32)
+        flat = (cell[..., 0] * nyv + cell[..., 1]) * nzv + cell[..., 2]
+        flat = jnp.where(hit, flat, v3)
+        payload = jnp.concatenate([rel, nf], axis=-1)  # (S, K, 3+C)
+
+        def pool_one(fl, pay):
+            ssum = jax.ops.segment_sum(pay, fl, num_segments=v3 + 1)[:-1]
+            cnt = jax.ops.segment_sum(
+                jnp.ones((fl.shape[0], 1), pay.dtype), fl,
+                num_segments=v3 + 1)[:-1]
+            return ssum / jnp.clip(cnt, 1.0, None)
+
+        pooled = jax.vmap(pool_one)(flat, payload)  # (S, V3, 3+C)
+    else:  # local_interpolation at sub-voxel centers
+        # distances (S, V3, K) from centers to neighbors (relative coords)
+        d2 = ((grid[None, :, None, :] - rel[:, None, :, :]) ** 2).sum(-1)
+        d2 = jnp.where(hit[:, None, :], d2, 1e10)
+        neg_top, nn_idx = jax.lax.top_k(-d2, 3)  # (S, V3, 3)
+        nn_d2 = jnp.clip(-neg_top, 1e-8, None)
+        w = 1.0 / nn_d2
+        w = w / w.sum(axis=-1, keepdims=True)
+        nn_feat = jnp.take_along_axis(
+            nf[:, None, :, :].repeat(v3, 1), nn_idx[..., None], axis=2)
+        interp = (nn_feat * w[..., None]).sum(axis=2)  # (S, V3, C)
+        interp = interp * hit.any(-1)[:, None, None].astype(interp.dtype)
+        pooled = jnp.concatenate(
+            [jnp.broadcast_to(grid[None], (s, v3, 3)), interp], axis=-1)
+
+    pooled = pooled * (~empty)[:, None, None].astype(pooled.dtype)
+    return pooled.reshape(s, v3 * (3 + c)), empty
+
+
 def ball_query(radius: float, nsample: int, xyz, new_xyz, valid=None):
     """(S, nsample) indices of points within radius of each center.
 

@@ -52,9 +52,10 @@ def one_cycle_schedule(lr_max: float, total_steps: int, moms=(0.95, 0.85),
 
 def decay_step_schedule(lr: float, decay_step_list, lr_decay: float, lr_clip: float,
                         steps_per_epoch: int, warmup_epoch: int = 1,
-                        warmup: bool = False):
-    """LambdaLR over decay epochs + optional linear warmup (reference
-    learning_schedules_fastai.py:92-114 / optimization/__init__.py:46-60)."""
+                        warmup: bool = False, div_factor: float = 10.0):
+    """LambdaLR over decay epochs + optional CosineWarmupLR ramp (reference
+    learning_schedules_fastai.py:80-89, optimization/__init__.py:52-57:
+    lr warms eta_min -> base over WARMUP_EPOCH with a half-cosine)."""
     boundaries = [int(e * steps_per_epoch) for e in decay_step_list]
 
     def lr_fn(step):
@@ -63,8 +64,10 @@ def decay_step_schedule(lr: float, decay_step_list, lr_decay: float, lr_clip: fl
             mult = jnp.where(step >= b, mult * lr_decay, mult)
         cur = jnp.maximum(lr * mult, lr_clip)
         if warmup:
-            wsteps = warmup_epoch * steps_per_epoch
-            wlr = lr * (0.1 + 0.9 * step / max(wsteps, 1))
+            wsteps = max(warmup_epoch * steps_per_epoch, 1)
+            eta_min = lr / div_factor
+            wlr = eta_min + (lr - eta_min) * (
+                1 - jnp.cos(jnp.pi * step / wsteps)) / 2
             cur = jnp.where(step < wsteps, wlr, cur)
         return cur
 
@@ -119,6 +122,7 @@ def build_optimizer(params, optim_cfg, total_steps: int, steps_per_epoch: int):
             steps_per_epoch,
             int(optim_cfg.get("WARMUP_EPOCH", 1)),
             bool(optim_cfg.get("LR_WARMUP", False)),
+            float(optim_cfg.get("DIV_FACTOR", 10.0)),
         )
         chain.append(optax.scale_by_adam())
         chain.append(optax.scale_by_schedule(lambda s: -lr_fn(s)))
@@ -133,6 +137,7 @@ def build_optimizer(params, optim_cfg, total_steps: int, steps_per_epoch: int):
             steps_per_epoch,
             int(optim_cfg.get("WARMUP_EPOCH", 1)),
             bool(optim_cfg.get("LR_WARMUP", False)),
+            float(optim_cfg.get("DIV_FACTOR", 10.0)),
         )
         chain.append(optax.trace(decay=float(optim_cfg.get("MOMENTUM", 0.9))))
         if wd > 0:
