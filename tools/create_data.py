@@ -68,16 +68,44 @@ def integrate_database(args, cfg):
     print("wrote global array", global_arr.shape)
 
 
+def create_waymo_infos(args, cfg):
+    """Extract raw Waymo tfrecords into per-sequence info pkls + .npy point
+    files (reference waymo_dataset.py --func create_waymo_infos; requires
+    tensorflow + waymo-open-dataset)."""
+    from pathlib import Path
+
+    from com_tpu.data.waymo.waymo_utils import process_single_sequence
+
+    root = Path(args.root_path)
+    out = Path(args.out_dir or root / "waymo_processed_data")
+    records = sorted(root.glob("*.tfrecord*"))
+    if not records:
+        print(f"no tfrecords under {root}")
+        return
+    all_infos = []
+    for seq in records:
+        all_infos.extend(
+            process_single_sequence(
+                seq, out, sampled_interval=args.sampled_interval,
+                has_label=True,
+            )
+        )
+    with open(out / "waymo_infos.pkl", "wb") as f:
+        pickle.dump(all_infos, f)
+    print(f"extracted {len(all_infos)} frames from {len(records)} sequences")
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--func", required=True,
                         choices=["create_gt_database", "annotate_database",
-                                 "integrate_database"])
+                                 "integrate_database", "create_waymo_infos"])
     parser.add_argument("--cfg_file", type=str, default=None)
     parser.add_argument("--db_info_path", type=str, default=None)
     parser.add_argument("--root_path", type=str, default=None)
     parser.add_argument("--out_dir", type=str, default=None)
     parser.add_argument("--num_point_features", type=int, default=5)
+    parser.add_argument("--sampled_interval", type=int, default=1)
     args = parser.parse_args()
 
     cfg = None
