@@ -1,11 +1,15 @@
-"""KITTI detection AP (R40) — pure numpy, vectorized (no numba).
+"""KITTI detection AP (R40) — pure numpy, reference-algorithm faithful.
 
-Role of pcdet/datasets/kitti/kitti_object_eval_python/{eval,rotate_iou}.py:
-official-style difficulty gating (height / occlusion / truncation), greedy
-score-descending matching at class IoU thresholds, 40-point interpolated AP.
+Role of pcdet/datasets/kitti/kitti_object_eval_python/{eval,rotate_iou}.py,
+following the official algorithm step for step (golden-tested against the
+reference implementation in tests/test_kitti_eval_golden.py):
+difficulty gating (height / occlusion / truncation), per-GT max-overlap
+matching redone at every score threshold (compute_statistics_jit semantics),
+recall-spaced threshold subsampling (get_thresholds), monotone precision
+envelope, AP_R40 = mean precision over sample points 1..40.
 BEV and 3D metrics are computed in the lidar frame with the same rotated-IoU
 op used across the framework (the reference evaluates in camera coords; the
-matching and AP math are identical).
+geometry is rotation-equivalent).
 """
 from __future__ import annotations
 
@@ -22,104 +26,130 @@ DIFFICULTY = {
 MIN_OVERLAP = {"Car": 0.7, "Pedestrian": 0.5, "Cyclist": 0.5,
                "Vehicle": 0.7, "Van": 0.7, "Truck": 0.7}
 N_SAMPLE_PTS = 41
+NO_DETECTION = -10000000.0
 
 
-def _gt_valid_mask(gt, class_name, difficulty):
+def _gt_ignore_codes(gt, class_name, difficulty):
+    """Per-GT code like clean_data (eval.py:29-74): 0 = valid, 1 = ignored
+    (same class but too hard, or neighboring class), -1 = irrelevant."""
     gates = DIFFICULTY[difficulty]
-    names = gt["name"]
+    names = np.char.lower(gt["name"].astype(str))
     n = len(names)
-    valid = np.zeros(n, bool)
-    ignored = np.zeros(n, bool)
-    same = np.char.lower(names.astype(str)) == class_name.lower()
-    # neighboring-class ignores (official: Van for Car, Person_sitting for Ped)
+    same = names == class_name.lower()
     neighbor = {"car": ["van"], "pedestrian": ["person_sitting"]}.get(
         class_name.lower(), []
     )
-    occ = gt.get("occluded", np.zeros(n))
-    trunc = gt.get("truncated", np.zeros(n))
-    hgt = gt.get("bbox_height", np.full(n, 50.0))
+    occ = np.asarray(gt.get("occluded", np.zeros(n)))
+    trunc = np.asarray(gt.get("truncated", np.zeros(n)))
+    hgt = np.asarray(gt.get("bbox_height", np.full(n, 50.0)))
     too_hard = (occ > gates["occlusion"]) | (trunc > gates["truncation"]) | (
         hgt <= gates["height"]
     )
-    valid = same & ~too_hard
-    ignored = (same & too_hard) | np.isin(
-        np.char.lower(names.astype(str)), neighbor
-    )
-    return valid, ignored
+    code = np.full(n, -1, np.int64)
+    code[same & ~too_hard] = 0
+    code[same & too_hard] = 1
+    code[np.isin(names, neighbor)] = 1
+    return code
 
 
-def _match_frame(gt_boxes, gt_valid, gt_ignored, det_boxes, det_scores,
-                 min_overlap, metric):
-    """Returns (tp_scores, fp_flags_per_det, n_valid_gt)."""
-    if len(det_boxes) == 0:
-        return np.zeros(0), np.zeros(0, bool), int(gt_valid.sum())
-    if len(gt_boxes) == 0:
-        return np.zeros(0), np.ones(len(det_boxes), bool), 0
-    iou_fn = boxes_iou_bev if metric == "bev" else boxes_iou3d
-    iou = iou_fn(det_boxes[:, :7], gt_boxes[:, :7], xp=np)
-    order = np.argsort(-det_scores)
-    assigned = np.zeros(len(gt_boxes), bool)
-    tp_scores, fp = [], np.zeros(len(det_boxes), bool)
-    for d in order:
-        best, best_iou = -1, min_overlap
-        for g in range(len(gt_boxes)):
-            if assigned[g] or gt_ignored[g] or not gt_valid[g]:
-                continue
-            if iou[d, g] >= best_iou:
-                best, best_iou = g, iou[d, g]
-        if best >= 0:
-            assigned[best] = True
-            tp_scores.append(det_scores[d])
+def _match_stats(iou, gt_code, det_scores, min_overlap, thresh,
+                 compute_fp):
+    """compute_statistics_jit semantics (eval.py:157-243): greedy per-GT
+    assignment — by score when collecting thresholds (compute_fp=False), by
+    max overlap when counting tp/fp at a threshold; strict > min_overlap.
+
+    iou: (num_det, num_gt).  Returns (tp, fp, fn, tp_scores list)."""
+    num_det = len(det_scores)
+    num_gt = iou.shape[1] if num_det else len(gt_code)
+    assigned = np.zeros(num_det, bool)
+    ignored_thresh = det_scores < thresh if compute_fp else np.zeros(num_det, bool)
+    tp = fp = fn = 0
+    tp_scores = []
+    for i in range(num_gt):
+        if gt_code[i] == -1:
+            continue
+        usable = ~assigned & ~ignored_thresh
+        if num_det:
+            ov = np.where(usable, iou[:, i], -1.0)
+        det_idx = -1
+        if num_det:
+            cand = ov > min_overlap
+            if cand.any():
+                if compute_fp:
+                    det_idx = int(np.argmax(np.where(cand, ov, -1.0)))
+                else:
+                    det_idx = int(np.argmax(np.where(cand, det_scores, NO_DETECTION)))
+        if det_idx < 0:
+            if gt_code[i] == 0:
+                fn += 1
+        elif gt_code[i] == 1:
+            assigned[det_idx] = True
         else:
-            # a det matching an ignored GT is neither tp nor fp
-            ign = any(
-                (gt_ignored[g] or not gt_valid[g]) and iou[d, g] >= min_overlap
-                for g in range(len(gt_boxes))
-            )
-            fp[d] = not ign
-    return np.asarray(tp_scores), fp, int(gt_valid.sum())
+            tp += 1
+            tp_scores.append(float(det_scores[det_idx]))
+            assigned[det_idx] = True
+    if compute_fp:
+        fp = int((~assigned & ~ignored_thresh).sum())
+    return tp, fp, fn, tp_scores
+
+
+def _get_thresholds(tp_scores_desc, num_gt):
+    """Recall-spaced threshold subsampling (eval.py get_thresholds)."""
+    thresholds = []
+    current_recall = 0.0
+    for i, score in enumerate(tp_scores_desc):
+        l_recall = (i + 1) / num_gt
+        r_recall = (i + 2) / num_gt if i < len(tp_scores_desc) - 1 else l_recall
+        if (r_recall - current_recall) < (current_recall - l_recall) and (
+            i < len(tp_scores_desc) - 1
+        ):
+            continue
+        thresholds.append(score)
+        current_recall += 1 / (N_SAMPLE_PTS - 1.0)
+    return thresholds
 
 
 def eval_class(gt_annos, det_annos, class_name, difficulty, metric):
-    """AP(R40) for one (class, difficulty, metric)."""
+    """AP(R40) for one (class, difficulty, metric) — eval_class role."""
     min_overlap = MIN_OVERLAP.get(class_name, 0.5)
-    all_tp_scores, all_fp_scores = [], []
+    iou_fn = boxes_iou_bev if metric == "bev" else boxes_iou3d
+
+    frames = []
     total_gt = 0
-    per_frame = []
+    all_tp_scores = []
     for gt, det in zip(gt_annos, det_annos):
-        gv, gi = _gt_valid_mask(gt, class_name, difficulty)
+        code = _gt_ignore_codes(gt, class_name, difficulty)
         det_mask = np.char.lower(det["name"].astype(str)) == class_name.lower()
-        det_boxes = det["boxes_lidar"][det_mask]
-        det_scores = det["score"][det_mask]
-        per_frame.append((gt, gv, gi, det_boxes, det_scores))
-        total_gt += int(gv.sum())
-        tp_s, fp_flags, _ = _match_frame(
-            gt["gt_boxes_lidar"], gv, gi, det_boxes, det_scores, min_overlap, metric
+        det_boxes = np.asarray(det["boxes_lidar"])[det_mask]
+        det_scores = np.asarray(det["score"])[det_mask]
+        gt_boxes = np.asarray(gt["gt_boxes_lidar"])
+        iou = (
+            iou_fn(det_boxes[:, :7], gt_boxes[:, :7], xp=np)
+            if len(det_boxes) and len(gt_boxes)
+            else np.zeros((len(det_boxes), len(gt_boxes)))
         )
-        all_tp_scores.append(tp_s)
-        all_fp_scores.append(det_scores[fp_flags])
+        frames.append((iou, code, det_scores))
+        total_gt += int((code == 0).sum())
+        _, _, _, tps = _match_stats(iou, code, det_scores, min_overlap, 0.0,
+                                    compute_fp=False)
+        all_tp_scores += tps
     if total_gt == 0:
         return 0.0
-    tp_scores = np.sort(np.concatenate(all_tp_scores))[::-1]
-    fp_scores = np.sort(np.concatenate(all_fp_scores))[::-1]
 
-    # 40-point interpolated AP over recall thresholds
-    recalls = np.linspace(0, 1, N_SAMPLE_PTS)[1:]  # skip r=0 (R40)
-    precisions = []
-    for r in recalls:
-        k = int(np.ceil(r * total_gt))
-        if k == 0 or len(tp_scores) < k:
-            precisions.append(0.0)
-            continue
-        thresh = tp_scores[k - 1]
-        n_tp = k
-        n_fp = int((fp_scores >= thresh).sum())
-        precisions.append(n_tp / max(n_tp + n_fp, 1))
-    precisions = np.asarray(precisions)
-    # monotone precision envelope
-    for i in range(len(precisions) - 2, -1, -1):
-        precisions[i] = max(precisions[i], precisions[i + 1])
-    return float(precisions.mean() * 100.0)
+    thresholds = _get_thresholds(sorted(all_tp_scores, reverse=True), total_gt)
+    prec = np.zeros(N_SAMPLE_PTS)
+    for ti, t in enumerate(thresholds[:N_SAMPLE_PTS]):
+        tp = fp = fn = 0
+        for iou, code, det_scores in frames:
+            tpi, fpi, fni, _ = _match_stats(iou, code, det_scores,
+                                            min_overlap, t, compute_fp=True)
+            tp += tpi
+            fp += fpi
+            fn += fni
+        prec[ti] = tp / max(tp + fp, 1)
+    for i in range(N_SAMPLE_PTS - 2, -1, -1):
+        prec[i] = max(prec[i], prec[i + 1])
+    return float(prec[1:].sum() / (N_SAMPLE_PTS - 1) * 100.0)
 
 
 def kitti_evaluation(det_annos, gt_annos, class_names):
