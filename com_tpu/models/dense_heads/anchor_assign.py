@@ -85,6 +85,79 @@ def assign_anchors_single_class(
     return labels, targets, groups
 
 
+def atss_assign_targets(
+    anchors,  # (A, 7) flat anchors
+    gt_boxes,  # (B, M, 8) class in last col, 0 pad
+    topk: int,
+    box_coder: ResidualCoder,
+    match_height: bool = False,
+):
+    """ATSS assignment (target_assigner/atss_target_assigner.py:77-142,
+    arXiv 1912.02424), vectorized with padded GT: per GT, the top-k
+    closest anchors form candidates; the IoU threshold is their mean+std;
+    positives must also have centers inside the GT's BEV rectangle; each
+    anchor takes its best surviving GT, and every GT force-claims its
+    max-IoU anchor.  Returns AnchorTargets."""
+    from ...ops.iou import boxes_iou3d, boxes_iou_bev
+
+    a = anchors.shape[0]
+    iou_fn = boxes_iou3d if match_height else boxes_iou_bev
+    neg_inf = -1e9
+
+    def per_sample(gt):
+        gt_valid = gt[:, -1] > 0
+        m = gt.shape[0]
+        iou = iou_fn(anchors, gt[:, :7], xp=jnp)  # (A, M)
+        iou = jnp.where(gt_valid[None, :], iou, 0.0)
+
+        dist = jnp.linalg.norm(
+            anchors[:, None, 0:3] - gt[None, :, 0:3], axis=-1)
+        dist = jnp.where(gt_valid[None, :], dist, jnp.inf)
+        _, topk_idx = jax.lax.top_k(-dist.T, topk)  # (M, K) anchor ids
+        cand_iou = jnp.take_along_axis(iou.T, topk_idx, axis=1)  # (M, K)
+        thr = cand_iou.mean(1) + cand_iou.std(1) + 1e-6  # (M,)
+        is_pos = cand_iou >= thr[:, None]
+
+        # candidate anchor centers inside the GT BEV rect
+        cand_xyz = anchors[topk_idx][..., 0:3] - gt[:, None, 0:3]
+        c, s = jnp.cos(-gt[:, 6]), jnp.sin(-gt[:, 6])
+        lx = cand_xyz[..., 0] * c[:, None] - cand_xyz[..., 1] * s[:, None]
+        ly = cand_xyz[..., 0] * s[:, None] + cand_xyz[..., 1] * c[:, None]
+        in_gt = (jnp.abs(lx) <= gt[:, None, 3] / 2) & (
+            jnp.abs(ly) <= gt[:, None, 4] / 2)
+        is_pos = is_pos & in_gt & gt_valid[:, None]
+
+        # per-anchor best surviving (anchor, gt) pair
+        ious_inf = jnp.full((a, m), neg_inf)
+        rows = topk_idx.reshape(-1)
+        cols = jnp.broadcast_to(
+            jnp.arange(m)[:, None], topk_idx.shape).reshape(-1)
+        vals = jnp.where(
+            is_pos.reshape(-1), iou[rows, cols], neg_inf)
+        ious_inf = ious_inf.at[rows, cols].max(vals)
+        # force-match every GT's argmax-iou anchor
+        gt_best_anchor = iou.argmax(axis=0)
+        ious_inf = ious_inf.at[gt_best_anchor, jnp.arange(m)].max(
+            jnp.where(gt_valid, iou.max(axis=0), neg_inf))
+
+        best_val = ious_inf.max(axis=1)
+        best_gt = ious_inf.argmax(axis=1)
+        pos = best_val > neg_inf
+        labels = jnp.where(pos, gt[best_gt, -1].astype(jnp.int32), 0)
+        targets = box_coder.encode(gt[best_gt, :7], anchors, xp=jnp)
+        targets = targets * pos[:, None].astype(targets.dtype)
+        weights = pos.astype(jnp.float32)
+        return labels, targets, weights
+
+    labels, targets, weights = jax.vmap(per_sample)(gt_boxes)
+    return AnchorTargets(
+        box_cls_labels=labels,
+        box_reg_targets=targets,
+        reg_weights=weights,
+        groups=jnp.zeros_like(labels),
+    )
+
+
 def assign_anchor_targets(
     anchors_flat,  # (A, 7) static, prediction layout
     per_class_index,  # list of static (A_c,) int arrays into anchors_flat

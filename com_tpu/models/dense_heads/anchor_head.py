@@ -97,6 +97,100 @@ for _name in (
     DENSE_HEADS.register(AnchorHeadSingle, name=_name)
 
 
+@DENSE_HEADS.register
+class AnchorHeadMulti(nn.Module):
+    """Grouped multi-head RPN (anchor_head_multi.py role): a shared conv
+    followed by one small head per class group (RPN_HEAD_CFGS), each with
+    its own cls / (optionally attribute-separated) box / dir convs.
+
+    Output lands in the SAME flat class-blocked anchor layout as
+    AnchorHeadSingle (per-cell head blocks concatenated in config order),
+    so the downstream assigner/losses/decoders run unchanged; classes a
+    head does not predict get constant -20 logits (sigmoid ~ 2e-9 — the
+    reference simply never computes them)."""
+
+    model_cfg: dict
+    input_channels: int
+    num_class: int
+    class_names: tuple
+
+    @nn.compact
+    def __call__(self, batch, train: bool = True):
+        from ..layers import ConvBNReLU
+
+        cfg = self.model_cfg
+        x = batch["spatial_features_2d"]
+        shared_ch = int(cfg.get("SHARED_CONV_NUM_FILTER", 64))
+        x = ConvBNReLU(shared_ch, kernel=3, name="shared_conv")(x, train)
+        b, h, w, _ = x.shape
+
+        agc = cfg["ANCHOR_GENERATOR_CONFIG"]
+        anchors_per_cls = {
+            c["class_name"]: len(c["anchor_sizes"]) * len(c["anchor_rotations"])
+            * len(c["anchor_bottom_heights"])
+            for c in agc
+        }
+        sep_reg = cfg.get("SEPARATE_REG_CONFIG", None)
+        code_size = (
+            sum(int(s.split(":")[1]) for s in sep_reg["REG_LIST"])
+            if sep_reg else 7
+        )
+        nbins = int(cfg.get("NUM_DIR_BINS", 2))
+        use_dir = cfg.get("USE_DIRECTION_CLASSIFIER", False)
+
+        cls_blocks, box_blocks, dir_blocks = [], [], []
+        for hi, head_cfg in enumerate(cfg["RPN_HEAD_CFGS"]):
+            names = list(head_cfg["HEAD_CLS_NAME"])
+            a_h = sum(anchors_per_cls[n] for n in names)
+            ch = len(names)
+            hx = x
+            if sep_reg:
+                for mi in range(int(sep_reg.get("NUM_MIDDLE_CONV", 0))):
+                    hx = ConvBNReLU(
+                        int(sep_reg.get("NUM_MIDDLE_FILTER", shared_ch)),
+                        kernel=3, name=f"h{hi}_mid{mi}")(hx, train)
+            cls = nn.Conv(
+                a_h * ch, (1, 1), use_bias=True,
+                bias_init=nn.initializers.constant(
+                    -float(np.log((1 - 0.01) / 0.01))),
+                name=f"h{hi}_cls")(hx)
+            if sep_reg:
+                regs = [
+                    nn.Conv(a_h * int(s.split(":")[1]), (1, 1), use_bias=True,
+                            name=f"h{hi}_reg_{s.split(':')[0]}")(hx)
+                    .reshape(b, h, w, a_h, int(s.split(":")[1]))
+                    for s in sep_reg["REG_LIST"]
+                ]
+                box = jnp.concatenate(regs, axis=-1)  # (B,H,W,A_h,code)
+            else:
+                box = nn.Conv(a_h * code_size, (1, 1), use_bias=True,
+                              name=f"h{hi}_box")(hx).reshape(
+                    b, h, w, a_h, code_size)
+
+            # expand per-head cls to global class channels (-20 filler)
+            cls = cls.reshape(b, h, w, a_h, ch)
+            full = jnp.full((b, h, w, a_h, self.num_class), -20.0, cls.dtype)
+            for ci, n in enumerate(names):
+                gi = self.class_names.index(n)
+                full = full.at[..., gi].set(cls[..., ci])
+            cls_blocks.append(full)
+            box_blocks.append(box)
+            if use_dir:
+                dir_blocks.append(
+                    nn.Conv(a_h * nbins, (1, 1), use_bias=True,
+                            name=f"h{hi}_dir")(hx).reshape(
+                        b, h, w, a_h, nbins))
+
+        cls_all = jnp.concatenate(cls_blocks, axis=3)
+        batch["cls_preds_raw"] = cls_all.reshape(b, h, w, -1)
+        batch["box_preds_raw"] = jnp.concatenate(box_blocks, axis=3).reshape(
+            b, h, w, -1)
+        if use_dir:
+            batch["dir_cls_preds_raw"] = jnp.concatenate(
+                dir_blocks, axis=3).reshape(b, h, w, -1)
+        return batch
+
+
 def reshape_anchor_preds(batch, num_class, code_size=7, nbins=2):
     """(B, H, W, A*X) -> (B, H*W*A, X) flat anchor-major layout matching the
     concat order of build_anchors (class-blocked anchors per location)."""

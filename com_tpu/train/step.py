@@ -183,7 +183,13 @@ def compute_anchor_loss(batch, model_cfg, class_names, meta, curriculum_states, 
     anchors_flat, per_class_index, matched, unmatched, class_ids = build_anchors(
         head_cfg, list(class_names), meta.grid_size, meta.point_cloud_range
     )
-    coder = ResidualCoder()
+    coder_cfg = head_cfg.get("TARGET_ASSIGNER_CONFIG", {}).get(
+        "BOX_CODER_CONFIG", {})
+    coder = ResidualCoder(
+        code_size=int(coder_cfg.get("code_size", 7)),
+        encode_angle_by_sincos=bool(
+            coder_cfg.get("encode_angle_by_sincos", False)),
+    )
 
     gt_boxes = batch["gt_boxes"]
     if is_cur and "true_object" in batch:
@@ -195,11 +201,22 @@ def compute_anchor_loss(batch, model_cfg, class_names, meta, curriculum_states, 
     else:
         group = jnp.zeros(gt_boxes.shape[:2], jnp.int32)
 
-    targets = assign_anchor_targets(
-        anchors_flat, per_class_index, gt_boxes, group, class_ids,
-        matched, unmatched, coder,
-    )
-    cls_flat, box_flat, dir_flat = reshape_anchor_preds(batch, num_class)
+    ta_cfg = head_cfg.get("TARGET_ASSIGNER_CONFIG", {})
+    if ta_cfg.get("NAME") == "ATSSTargetAssigner":
+        from ..models.dense_heads.anchor_assign import atss_assign_targets
+
+        targets = atss_assign_targets(
+            jnp.asarray(anchors_flat), gt_boxes,
+            topk=int(ta_cfg.get("TOPK", 9)), box_coder=coder,
+            match_height=bool(ta_cfg.get("MATCH_HEIGHT", False)),
+        )
+    else:
+        targets = assign_anchor_targets(
+            anchors_flat, per_class_index, gt_boxes, group, class_ids,
+            matched, unmatched, coder,
+        )
+    cls_flat, box_flat, dir_flat = reshape_anchor_preds(
+        batch, num_class, code_size=coder.code_size)
     b = cls_flat.shape[0]
 
     labels = targets.box_cls_labels
