@@ -19,6 +19,47 @@ from ..utils.common import AverageMeter
 from ..utils.transfer import fast_device_get
 
 
+class DevicePrefetcher:
+    """Double-buffered host->device transfer: a worker thread device_puts the
+    NEXT batch while the current step runs, hiding transfer latency behind
+    compute (the reference's dataloader+load_data_to_gpu overlap,
+    train_utils.py:69-91 role).  depth=2 keeps one batch in flight."""
+
+    def __init__(self, host_iter, mesh=None, batch_keys=None, depth: int = 2):
+        import queue
+        import threading
+
+        self.q = queue.Queue(maxsize=depth)
+        self._stop = object()
+
+        def to_device(batch):
+            host_batch = {k: v for k, v in batch.items()
+                          if isinstance(v, np.ndarray)
+                          and (batch_keys is None or k in batch_keys)}
+            if mesh is not None:
+                from ..parallel.mesh import shard_batch
+
+                return shard_batch(host_batch, mesh)
+            return jax.device_put(host_batch)
+
+        def worker():
+            try:
+                for batch in host_iter:
+                    self.q.put(to_device(batch))
+            finally:
+                self.q.put(self._stop)
+
+        self.thread = threading.Thread(target=worker, daemon=True)
+        self.thread.start()
+
+    def __iter__(self):
+        while True:
+            item = self.q.get()
+            if item is self._stop:
+                return
+            yield item
+
+
 def train_model(
     step_fn,
     state,
@@ -42,16 +83,11 @@ def train_model(
         data_meter, step_meter = AverageMeter(), AverageMeter()
         end = time.time()
         metrics = None
-        for it, batch in enumerate(loader):
+        prefetcher = DevicePrefetcher(iter(loader), mesh=mesh,
+                                      batch_keys=batch_keys)
+        for it, dev_batch in enumerate(prefetcher):
             data_meter.update(time.time() - end)
-            host_batch = {k: v for k, v in batch.items()
-                          if isinstance(v, np.ndarray)
-                          and (batch_keys is None or k in batch_keys)}
-            if mesh is not None:
-                from ..parallel.mesh import shard_batch
-
-                host_batch = shard_batch(host_batch, mesh)
-            state, metrics = step_fn(state, host_batch, epoch)
+            state, metrics = step_fn(state, dev_batch, epoch)
             step_meter.update(time.time() - end - data_meter.val)
             end = time.time()
             accumulated_iter += 1
