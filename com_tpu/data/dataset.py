@@ -210,7 +210,8 @@ class PrefetchLoader:
     """
 
     def __init__(self, dataset: DatasetTemplate, batch_size: int, shuffle: bool,
-                 seed: int = 0, num_workers: int = 2, drop_last: bool = True):
+                 seed: int = 0, num_workers: int = 2, drop_last: bool = True,
+                 process_index: int = 0, process_count: int = 1):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -218,21 +219,38 @@ class PrefetchLoader:
         self.num_workers = max(1, num_workers)
         self.drop_last = drop_last
         self.epoch = 0
+        # multihost data parallelism: each process feeds only its shard of
+        # the (epoch-shuffled) index space — DistributedSampler role
+        # (pcdet/datasets/__init__.py:65-72); all processes share the same
+        # shuffle seed so the shards are disjoint and covering.
+        self.process_index = int(process_index)
+        self.process_count = max(1, int(process_count))
 
     def set_epoch(self, epoch):
         self.epoch = epoch
         self.dataset.set_epoch(epoch)
 
+    def _shard_order(self):
+        order = np.arange(len(self.dataset))
+        if self.shuffle:
+            np.random.RandomState(self.seed + self.epoch).shuffle(order)
+        if self.process_count > 1:
+            # pad to a multiple of world size (wrap) so every process sees
+            # the same number of samples, then take a strided shard
+            total = int(np.ceil(len(order) / self.process_count)) * self.process_count
+            order = np.concatenate([order, order[: total - len(order)]])
+            order = order[self.process_index :: self.process_count]
+        return order
+
     def __len__(self):
-        n = len(self.dataset) // self.batch_size
-        if not self.drop_last and len(self.dataset) % self.batch_size:
+        n_samples = int(np.ceil(len(self.dataset) / self.process_count))
+        n = n_samples // self.batch_size
+        if not self.drop_last and n_samples % self.batch_size:
             n += 1
         return n
 
     def __iter__(self):
-        order = np.arange(len(self.dataset))
-        if self.shuffle:
-            np.random.RandomState(self.seed + self.epoch).shuffle(order)
+        order = self._shard_order()
         batches = [
             order[i : i + self.batch_size]
             for i in range(0, len(order) - (self.batch_size - 1 if self.drop_last else 0), self.batch_size)
@@ -274,8 +292,15 @@ def build_dataloader(dataset_cfg, class_names, batch_size, dist=False, root_path
         db_infos=db_infos,
         seed=seed,
     )
+    process_index, process_count = 0, 1
+    if dist:
+        import jax
+
+        process_index = jax.process_index()
+        process_count = jax.process_count()
     loader = PrefetchLoader(
         dataset, batch_size, shuffle=training, seed=seed, num_workers=workers,
-        drop_last=training,
+        drop_last=training, process_index=process_index,
+        process_count=process_count,
     )
     return dataset, loader
