@@ -23,6 +23,7 @@ from . import backbone2d as _b2  # noqa: F401 (register)
 from . import backbone3d as _b3  # noqa: F401
 from . import map_to_bev as _mb  # noqa: F401
 from . import pfe as _pfe  # noqa: F401
+from . import image_vfe as _ivfe  # noqa: F401
 from . import vfe as _vfe  # noqa: F401
 from . import dense_heads as _dh  # noqa: F401
 
@@ -58,9 +59,8 @@ class Detector3D(nn.Module):
                 voxel_size=self.meta.voxel_size,
                 point_cloud_range=self.meta.point_cloud_range,
             )
-        if cfg["NAME"] in ("DynamicPillarVFE", "DynamicMeanVFE") or cfg.get(
-            "VOXELIZE_ON_DEVICE"
-        ):
+        if cfg["NAME"] in ("DynamicPillarVFE", "DynamicMeanVFE",
+                           "ImageVFE") or cfg.get("VOXELIZE_ON_DEVICE"):
             kw.update(grid_size=self.meta.grid_size)
         return cls(**kw)
 
@@ -319,6 +319,13 @@ class PVRCNNPlusPlus(PVRCNN):
             model_cfg=head_cfg, num_class=1, name="roi_head")
         batch = head(batch, train)
         return batch
+
+
+@DETECTORS.register
+class CaDDN(Detector3D):
+    """CaDDN camera-only detector (detectors/caddn.py): ImageVFE depth
+    frustum -> voxel grid -> Conv2DCollapse BEV -> anchor head; the DDN
+    depth loss joins the RPN loss in the train step."""
 
 
 @DETECTORS.register

@@ -352,8 +352,12 @@ def device_batch_keys(model_cfg) -> set:
     keys = {"gt_boxes", "num_points_in_gt", "true_object", "occupancy_ratio",
             "facade_type"}
     vfe = model_cfg.get("VFE", {}).get("NAME", "")
-    if vfe.startswith("Dynamic"):
+    if vfe.startswith("Dynamic") or model_cfg.get("VFE", {}).get(
+            "VOXELIZE_ON_DEVICE"):
         keys |= {"points", "points_mask"}
+    elif vfe == "ImageVFE":
+        keys |= {"images", "depth_maps", "trans_lidar_to_cam",
+                 "trans_cam_to_img", "gt_boxes2d", "image_shape"}
     else:
         keys |= {"voxels", "voxel_coords", "voxel_num_points"}
     if model_cfg.get("PFE") is not None:  # keypoint abstraction reads raw points
@@ -396,6 +400,12 @@ def make_train_step(net, model_cfg, class_names, meta, tx, fmap_hw):
                     out, model_cfg.get("ROI_HEAD", {}).get("LOSS_CONFIG", {}))
                 loss = loss + iou_loss
                 tb["rcnn_loss_iou"] = iou_loss
+            if "depth_logits" in out and "depth_maps" in out:
+                from ..models.image_vfe import ddn_loss
+
+                d_loss = ddn_loss(out, model_cfg["VFE"])
+                loss = loss + d_loss
+                tb["ddn_loss"] = d_loss
             if "point_box_preds_raw" in out and "gt_boxes" in out:
                 from ..models.dense_heads.point_head import point_head_box_loss
 
