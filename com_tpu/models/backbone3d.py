@@ -148,6 +148,142 @@ class VoxelResBackBone8x(VoxelBackBone8x):
         return SparseResBlock(ch, name=name)
 
 
+class FocalSparseConvBlock(nn.Module):
+    """Focal sparse conv (focal_sparse_conv.py FocalSparseConv, lidar-only):
+    a small importance submconv predicts 27 logits per voxel (26 kernel
+    offsets + the voxel's own cubic importance); foreground voxels spawn
+    capped, deduplicated neighbor voxels; a regular submconv + BN + ReLU then
+    runs over the enlarged set.  The own-importance probabilities are stored
+    for the in-gt-box focal supervision (batch["focal_probs"/...])."""
+
+    out_channels: int
+    threshold: float = 0.5
+    spawn_cap: int = 1024
+    mask_multi: bool = False
+
+    @nn.compact
+    def __call__(self, feats, coords, valid, grid_zyx, train: bool):
+        cin = feats.shape[-1]
+        w_imp = self.param(
+            "imp_kernel",
+            nn.initializers.variance_scaling(1.0, "fan_in", "normal"),
+            (27, cin, 27), jnp.float32)
+        imps = jax.vmap(
+            lambda f, c, v: sp.submanifold_conv3d(f, c, v, w_imp, grid_zyx)
+        )(feats, coords, valid)
+        out = jax.vmap(
+            lambda f, c, v, i: sp.focal_split_and_spawn(
+                f, c, v, i, grid_zyx, self.threshold, self.spawn_cap,
+                self.mask_multi)
+        )(feats, coords, valid, imps)
+        nfeats, ncoords, nvalid, own = out
+        x, c2, v2, g2 = SparseConvBlock(self.out_channels, name="conv")(
+            nfeats, ncoords, nvalid, grid_zyx, train)
+        return x, c2, v2, g2, own
+
+
+@BACKBONES_3D.register
+class VoxelBackBone8xFocal(VoxelBackBone8x):
+    """VoxelBackBone8x with focal sparse convs after the configured stages
+    (spconv_backbone_focal.py VoxelBackBone8xFocal role, lidar-only path).
+    Emits batch["focal_probs"]/["focal_coords3d"]/["focal_valid"] lists for
+    the in-gt-box focal loss."""
+
+    @nn.compact
+    def __call__(self, batch, train: bool = True):
+        x = batch["pillar_features"]
+        coords = batch["voxel_coords"]
+        valid = coords[..., 0] >= 0
+        v = x.shape[1]
+        nx, ny, nz = (int(g) for g in self.grid_size)
+        grid = (nz + 1, ny, nx)
+        caps = self.model_cfg.get(
+            "VOXEL_CAPS", [v, max(v // 2, 1), max(v // 4, 1), max(v // 8, 1)])
+        chans = self.model_cfg.get("CHANNELS", [16, 32, 64, 128])
+        focal_stages = set(self.model_cfg.get("FOCAL_STAGES", [0, 1]))
+        thr = float(self.model_cfg.get("FOCAL_THRESHOLD", 0.5))
+        spawn = int(self.model_cfg.get("SPAWN_CAP", max(v // 4, 64)))
+
+        probs, pcoords, pvalid, strides = [], [], [], []
+        multi = {}
+        x, coords, valid, grid = self._stage_block(chans[0], "subm0_0")(
+            x, coords, valid, grid, train)
+        if 0 in focal_stages:
+            x, coords, valid, grid, own = FocalSparseConvBlock(
+                chans[0], thr, spawn, name="focal0")(x, coords, valid, grid,
+                                                     train)
+            probs.append(own)
+            pcoords.append(coords[:, : own.shape[1]])
+            pvalid.append(valid[:, : own.shape[1]])
+            strides.append(1)
+        multi["x_conv1"] = (x, coords, valid, grid)
+        for blk in range(1, 4):
+            x, coords, valid, grid = SparseConvBlock(
+                chans[blk], stride=(2, 2, 2), out_cap=int(caps[blk]),
+                name=f"down{blk}")(x, coords, valid, grid, train)
+            for i in range(2):
+                x, coords, valid, grid = self._stage_block(
+                    chans[blk], f"subm{blk}_{i}")(x, coords, valid, grid, train)
+            if blk in focal_stages:
+                x, coords, valid, grid, own = FocalSparseConvBlock(
+                    chans[blk], thr, max(spawn // (2**blk), 64),
+                    name=f"focal{blk}")(x, coords, valid, grid, train)
+                probs.append(own)
+                pcoords.append(coords[:, : own.shape[1]])
+                pvalid.append(valid[:, : own.shape[1]])
+                strides.append(2**blk)
+            multi[f"x_conv{blk + 1}"] = (x, coords, valid, grid)
+
+        x, coords, valid, grid = SparseConvBlock(
+            chans[3], stride=(2, 1, 1), out_cap=int(caps[3]), name="conv_out"
+        )(x, coords, valid, grid, train)
+        dense = jax.vmap(lambda f, c, m: sp.scatter_to_dense(f, c, m, grid))(
+            x, coords, valid)
+        batch["encoded_spconv_tensor"] = dense
+        batch["encoded_spconv_tensor_stride"] = 8
+        batch["multi_scale_3d_features"] = multi
+        batch["focal_probs"] = probs
+        batch["focal_coords"] = pcoords
+        batch["focal_valid"] = pvalid
+        batch["focal_strides"] = strides
+        return batch
+
+
+def focal_conv_loss(batch, voxel_size, point_cloud_range, gamma: float = 2.0):
+    """In-gt-box focal supervision for the voxel importance predictions
+    (focal_sparse_conv.py:135-147 + FocalLoss)."""
+    from ..ops.boxes import points_in_rbbox
+
+    gt = batch["gt_boxes"]
+    total = 0.0
+    vx, vy, vz = (float(s) for s in voxel_size)
+    x0, y0, z0 = (float(s) for s in point_cloud_range[:3])
+    for own, coords, valid, stride in zip(
+        batch["focal_probs"], batch["focal_coords"], batch["focal_valid"],
+        batch["focal_strides"],
+    ):
+        centers = jnp.stack(
+            [
+                coords[..., 2].astype(jnp.float32) * vx * stride + x0,
+                coords[..., 1].astype(jnp.float32) * vy * stride + y0,
+                coords[..., 0].astype(jnp.float32) * vz * stride + z0,
+            ],
+            axis=-1,
+        )
+
+        def one(c, g, m):
+            gt_valid = g[:, -1] > 0
+            inside = points_in_rbbox(c, g[:, :7], xp=jnp) & gt_valid[None, :]
+            return inside.any(axis=1) & m
+
+        tgt = jax.vmap(one)(centers, gt, valid).astype(jnp.float32)
+        p = jnp.clip(jnp.where(tgt > 0, own, 1 - own), 1e-7, 1 - 1e-7)
+        per = -((1 - p) ** gamma) * jnp.log(p)
+        vm = valid.astype(jnp.float32)
+        total = total + (per * vm).sum() / jnp.clip(vm.sum(), 1.0, None)
+    return total
+
+
 class InverseConvBlock(nn.Module):
     """Inverse sparse conv + masked BN + ReLU (spconv_unet inverseconv)."""
 

@@ -279,6 +279,74 @@ def voxel_query(
     return buf, empty
 
 
+def focal_split_and_spawn(feats, coords, valid, imps, grid_zyx,
+                          threshold: float, spawn_cap: int,
+                          mask_multi: bool = False):
+    """Focal sparse conv voxel split/spawn (focal_sparse_conv.py
+    _gen_sparse_features + focal_sparse_utils.split_voxels roles):
+    voxels whose predicted 'cubic importance' (imps[:, -1], sigmoid) exceeds
+    the threshold are foreground; each foreground voxel spawns new voxels at
+    kernel-offset positions whose per-offset importance also exceeds the
+    threshold, carrying the parent's features scaled by that importance.
+    Foreground voxels' own features are scaled by their importance (the
+    straight-through path that trains the predictor).  Static shapes: the
+    spawn set is deduplicated (against existing voxels and itself, highest
+    score wins) and capped at ``spawn_cap``.
+
+    Returns (feats', coords', valid', own_prob) with V + spawn_cap rows.
+    """
+    v, c = feats.shape
+    own = jax.nn.sigmoid(imps[:, -1])
+    fg = (own > threshold) & valid
+    scale = jnp.where(fg, own, 1.0)
+    base_feats = feats * (scale[:, None] if not mask_multi else
+                          own[:, None] * valid[:, None])
+
+    offs = np.delete(_offsets(3), 13, axis=0)  # 26 neighbors, center removed
+    k = offs.shape[0]
+    nz, ny, nx = (int(g) for g in grid_zyx)
+    cand = coords[:, None, :] + jnp.asarray(offs, jnp.int32)[None]
+    inb = (
+        (cand[..., 0] >= 0) & (cand[..., 0] < nz)
+        & (cand[..., 1] >= 0) & (cand[..., 1] < ny)
+        & (cand[..., 2] >= 0) & (cand[..., 2] < nx)
+    )
+    score = jax.nn.sigmoid(imps[:, :k])
+    ok = (score > threshold) & fg[:, None] & inb
+
+    sorted_keys, order = build_hash(coords, valid, grid_zyx)
+    flat_cand = cand.reshape(-1, 3)
+    flat_ok = ok.reshape(-1)
+    cand_keys = flat_key(flat_cand, grid_zyx, flat_ok)
+    exists = lookup(sorted_keys, order, cand_keys) >= 0
+    flat_ok = flat_ok & ~exists
+    flat_score = jnp.where(flat_ok, score.reshape(-1), 0.0)
+
+    # dedup among candidates: lexicographic sort by (key, -score); the first
+    # slot of each key run is the highest-scoring parent
+    keys_m = jnp.where(flat_ok, cand_keys, jnp.iinfo(jnp.int32).max)
+    skeys, sneg, sidx = jax.lax.sort(
+        (keys_m, -flat_score, jnp.arange(v * k, dtype=jnp.int32)), num_keys=2)
+    first = jnp.concatenate(
+        [jnp.ones((1,), bool), skeys[1:] != skeys[:-1]]
+    ) & (skeys != jnp.iinfo(jnp.int32).max)
+    uniq_score = jnp.where(first, -sneg, -1.0)
+    top_score, top_slot = jax.lax.top_k(uniq_score, spawn_cap)
+    sel = sidx[top_slot]
+    sel_valid = top_score > 0
+    parent = sel // k
+    spawn_coords = flat_cand[sel]
+    spawn_feats = feats[parent] * top_score[:, None]
+    spawn_feats = spawn_feats * sel_valid[:, None].astype(feats.dtype)
+    spawn_coords = jnp.where(sel_valid[:, None], spawn_coords, -1)
+
+    out_feats = jnp.concatenate([base_feats, spawn_feats], axis=0)
+    out_coords = jnp.concatenate(
+        [jnp.where(valid[:, None], coords, -1), spawn_coords], axis=0)
+    out_valid = jnp.concatenate([valid, sel_valid], axis=0)
+    return out_feats, out_coords, out_valid, own
+
+
 def scatter_to_dense(features, coords, valid, grid_zyx):
     """(V, C) sparse -> (D, H, W, C) dense (for HeightCompression)."""
     nz, ny, nx = (int(g) for g in grid_zyx)

@@ -400,6 +400,13 @@ def make_train_step(net, model_cfg, class_names, meta, tx, fmap_hw):
                     out, model_cfg.get("ROI_HEAD", {}).get("LOSS_CONFIG", {}))
                 loss = loss + iou_loss
                 tb["rcnn_loss_iou"] = iou_loss
+            if "focal_probs" in out and "gt_boxes" in out:
+                from ..models.backbone3d import focal_conv_loss
+
+                f_loss = focal_conv_loss(out, meta.voxel_size,
+                                         meta.point_cloud_range)
+                loss = loss + f_loss
+                tb["loss_box_of_pts"] = f_loss
             if "depth_logits" in out and "depth_maps" in out:
                 from ..models.image_vfe import ddn_loss
 
