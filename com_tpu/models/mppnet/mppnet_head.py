@@ -83,6 +83,35 @@ def spherical_coordinate(src, diag_dist):
     return jnp.concatenate([dis, phi, the], axis=-1)
 
 
+def generate_trajectory_with_idx(cur_boxes, proposals_list, iou_thresh=0.5):
+    """generate_trajectory that also returns, per (frame, roi), the index of
+    the matched proposal in that frame's list (-1 when unmatched) — needed
+    by the E2E memory bank to gather cached per-frame features."""
+    b, f, p, d = proposals_list.shape
+    r = cur_boxes.shape[1]
+    traj = [cur_boxes]
+    valid = [jnp.ones((b, r), bool)]
+    idxs = [jnp.arange(r, dtype=jnp.int32)[None].repeat(b, 0)]
+    prev = cur_boxes
+    for i in range(1, f):
+        pred_xy = prev[..., 0:2] + prev[..., 7:9]
+        pred = jnp.concatenate([pred_xy, prev[..., 2:]], axis=-1)
+        iou = jax.vmap(lambda a, c: boxes_iou3d(a[:, :7], c[:, :7], xp=jnp))(
+            pred, proposals_list[:, i]
+        )
+        best = iou.argmax(axis=2)
+        maxov = iou.max(axis=2)
+        ok = maxov >= iou_thresh
+        matched = jnp.take_along_axis(
+            proposals_list[:, i], best[..., None], axis=1)
+        traj.append(jnp.where(ok[..., None], matched, cur_boxes))
+        valid.append(ok)
+        idxs.append(jnp.where(ok, best.astype(jnp.int32), -1))
+        prev = jnp.where(ok[..., None], matched, pred)
+    return (jnp.stack(traj, 1), jnp.stack(valid, 1).astype(jnp.float32),
+            jnp.stack(idxs, 1))
+
+
 def generate_trajectory(cur_boxes, proposals_list, iou_thresh=0.5):
     """Link current-frame boxes backward through per-frame proposals
     (mppnet_head.py:635-659).
@@ -216,7 +245,8 @@ class MPPNetHead(nn.Module):
         proxy points (BR, F*G^3, 3).
         """
         br = src_xyz.shape[0]
-        f, k, g3 = self.num_frames, self.num_lidar_points, self.num_proxy_points
+        f = trajectory.shape[1]  # frames follow the trajectory, not config
+        k, g3 = self.num_lidar_points, self.num_proxy_points
         proxy_g, _ = proxy_points_of_roi(trajectory, self.grid_size)
         proxy = proxy_g.reshape(br, f * g3, 3)
 
@@ -252,7 +282,7 @@ class MPPNetHead(nn.Module):
         trajectory: (BR, F, 7).
         """
         br = src.shape[0]
-        f, k = self.num_frames, self.num_lidar_points
+        f, k = trajectory.shape[1], self.num_lidar_points
         feats = []
         for i in range(f):
             roi = trajectory[:, i]
