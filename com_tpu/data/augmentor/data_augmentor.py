@@ -150,6 +150,23 @@ class DataAugmentor:
 
         return fn
 
+    def random_local_pyramid_aug(self, config=None, **_):
+        """SE-SSD pyramid augs (data_augmentor.py:253-272): per-face dropout
+        (frustum/sparsify already cover drop paths) + cross-object face swap."""
+        def fn(data_dict):
+            gt, pts = transforms.random_local_sparsify(
+                data_dict["gt_boxes"], data_dict["points"],
+                config.get("SPARSIFY_PROB", 0.05), rng=self.rng,
+            )
+            gt, pts = transforms.local_pyramid_swap(
+                gt, pts, config.get("SWAP_PROB", 0.1),
+                config.get("SWAP_MAX_NUM", 50), rng=self.rng,
+            )
+            data_dict["gt_boxes"], data_dict["points"] = gt, pts
+            return data_dict
+
+        return fn
+
     @property
     def gt_sampler(self):
         """The gt_sampling step if present (for curriculum feedback wiring)."""

@@ -121,6 +121,26 @@ class DataBaseSampler:
         pts[:, :3] += info["box3d_lidar"][:3].astype(np.float32)
         return pts
 
+    @staticmethod
+    def put_boxes_on_road_planes(gt_boxes, road_plane, calib=None):
+        """Drop sampled boxes onto the road plane (database_sampler.py:161-178).
+
+        With a KITTI calib the plane is in the rect camera frame; without one
+        the plane (a, b, c, d) is interpreted in the lidar frame
+        (a x + b y + c z + d = 0).  Returns (boxes, mv_height)."""
+        boxes = gt_boxes.copy()
+        a, b, c, d = road_plane
+        if calib is not None:
+            center_cam = calib.lidar_to_rect(boxes[:, 0:3])
+            height_cam = (-d - a * center_cam[:, 0] - c * center_cam[:, 2]) / b
+            center_cam[:, 1] = height_cam
+            road_z = calib.rect_to_lidar(center_cam)[:, 2]
+        else:
+            road_z = (-d - a * boxes[:, 0] - b * boxes[:, 1]) / c
+        mv_height = boxes[:, 2] - boxes[:, 5] / 2 - road_z
+        boxes[:, 2] -= mv_height
+        return boxes, mv_height
+
     def add_sampled_boxes_to_scene(self, data_dict, sampled_boxes, sampled_infos):
         gt_mask = data_dict["gt_boxes_mask"]
         gt_boxes = data_dict["gt_boxes"][gt_mask]
@@ -130,11 +150,23 @@ class DataBaseSampler:
             if k in data_dict:
                 side[k] = data_dict[k][gt_mask]
 
+        mv_height = None
+        if self.sampler_cfg.get("USE_ROAD_PLANE", False) and \
+                "road_plane" in data_dict:
+            sampled_boxes, mv_height = self.put_boxes_on_road_planes(
+                sampled_boxes, data_dict["road_plane"], data_dict.get("calib"))
+
         points = data_dict["points"]
         obj_points = [
             info.get("points", None) if "points" in info else self._load_obj_points(info)
             for info in sampled_infos
         ]
+        if mv_height is not None:
+            for i, p in enumerate(obj_points):
+                if p is not None:
+                    p = p.copy()
+                    p[:, 2] -= mv_height[i]
+                    obj_points[i] = p
         obj_points = [p for p in obj_points if p is not None]
         obj_points = (
             np.concatenate(obj_points, axis=0)

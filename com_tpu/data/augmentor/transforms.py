@@ -148,3 +148,126 @@ def random_local_translation(gt_boxes, points, offset_range, axes, rng=np.random
             points[mask, j] += d
             gt_boxes[i, j] += d
     return gt_boxes, points
+
+
+def _box_pyramids(gt_boxes):
+    """(N, 7) boxes -> (N, 6, 5, 3) face pyramids: apex = box center, base =
+    the 4 corners of each face (augmentor_utils.get_pyramids role)."""
+    n = len(gt_boxes)
+    if n == 0:
+        return np.zeros((0, 6, 5, 3), np.float32)
+    # local corners (order: binary xyz)
+    signs = np.array([[x, y, z] for x in (-1, 1) for y in (-1, 1)
+                      for z in (-1, 1)], np.float64)  # (8, 3)
+    local = signs[None] * gt_boxes[:, None, 3:6] / 2  # (N, 8, 3)
+    c, s = np.cos(gt_boxes[:, 6]), np.sin(gt_boxes[:, 6])
+    rx = local[..., 0] * c[:, None] - local[..., 1] * s[:, None]
+    ry = local[..., 0] * s[:, None] + local[..., 1] * c[:, None]
+    corners = np.stack([rx, ry, local[..., 2]], -1) + gt_boxes[:, None, :3]
+    center = gt_boxes[:, None, :3]
+    # 6 faces as corner index quadruples (+x, -x, +y, -y, +z, -z)
+    faces = [
+        (4, 5, 7, 6), (0, 1, 3, 2),
+        (2, 3, 7, 6), (0, 1, 5, 4),
+        (1, 3, 7, 5), (0, 2, 6, 4),
+    ]
+    pyr = np.zeros((n, 6, 5, 3))
+    for fi, f in enumerate(faces):
+        pyr[:, fi, 0] = center[:, 0]
+        for k in range(4):
+            pyr[:, fi, k + 1] = corners[:, f[k]]
+    return pyr
+
+
+def _pyramid_ratios(points, pyr):
+    """Barycentric-ish coordinates of points in a face pyramid
+    (local_pyramid_swap get_points_ratio): alphas/betas span the base,
+    gamma runs base->apex; all in [0, 1] inside the pyramid."""
+    apex, c0, c1, c2, c3 = pyr
+    base_center = (c0 + c1 + c2 + c3) / 4.0
+    v0 = c1 - c0
+    v1 = c3 - c0
+    v2 = apex - base_center
+    a = ((points[:, :3] - c0) @ v0) / max((v0**2).sum(), 1e-9)
+    b = ((points[:, :3] - c0) @ v1) / max((v1**2).sum(), 1e-9)
+    g = ((points[:, :3] - base_center) @ v2) / max((v2**2).sum(), 1e-9)
+    return a, b, g
+
+
+def _points_from_ratios(a, b, g, pyr):
+    apex, c0, c1, c2, c3 = pyr
+    base_center = (c0 + c1 + c2 + c3) / 4.0
+    v0 = c1 - c0
+    v1 = c3 - c0
+    v2 = apex - base_center
+    return c0 + a[:, None] * v0 + b[:, None] * v1 + g[:, None] * v2
+
+
+def _in_pyramid(points, pyr, eps=1e-6):
+    a, b, g = _pyramid_ratios(points, pyr)
+    # base spans shrink toward the apex: |coord - 0.5| <= (1 - gamma) / 2
+    return ((g >= -eps) & (g <= 1 + eps)
+            & (np.abs(a - 0.5) <= (1 - g) / 2 + eps)
+            & (np.abs(b - 0.5) <= (1 - g) / 2 + eps))
+
+
+def local_pyramid_swap(gt_boxes, points, prob, max_num_pts, rng=np.random):
+    """Swap the points of one face pyramid between two objects, remapping
+    through the pyramid-relative coordinates and rescaling intensities
+    (augmentor_utils.local_pyramid_swap:560-658 semantics)."""
+    n = len(gt_boxes)
+    if n < 2:
+        return gt_boxes, points
+    pyramids = _box_pyramids(gt_boxes[:, :7])
+    swap_mask = rng.uniform(0, 1, n) <= prob
+    if not swap_mask.any():
+        return gt_boxes, points
+
+    membership = np.zeros((len(points), n, 6), bool)
+    counts = np.zeros((n, 6), np.int64)
+    for i in range(n):
+        for f in range(6):
+            m = _in_pyramid(points, pyramids[i, f])
+            membership[:, i, f] = m
+            counts[i, f] = m.sum()
+    eligible = counts > max_num_pts
+
+    new_parts = []
+    drop_mask = np.zeros(len(points), bool)
+    for i in np.where(swap_mask)[0]:
+        faces = np.where(eligible[i])[0]
+        if len(faces) == 0:
+            continue
+        f = int(rng.choice(faces))
+        partners = np.where(eligible[:, f] & (np.arange(n) != i))[0]
+        if len(partners) == 0:
+            continue
+        j = int(rng.choice(partners))
+        mi = membership[:, i, f] & ~drop_mask
+        mj = membership[:, j, f] & ~drop_mask
+        if mi.sum() == 0 or mj.sum() == 0:
+            continue
+        pi, pj = points[mi], points[mj]
+
+        ai, bi, gi = _pyramid_ratios(pi, pyramids[i, f])
+        aj, bj, gj = _pyramid_ratios(pj, pyramids[j, f])
+        new_i = _points_from_ratios(aj, bj, gj, pyramids[i, f])
+        new_j = _points_from_ratios(ai, bi, gi, pyramids[j, f])
+
+        def with_feats(xyz, src_feats, dst_feats):
+            out = np.concatenate([xyz, src_feats[:, 3:]], axis=1)
+            if out.shape[1] > 3 and len(dst_feats):
+                lo_s, hi_s = src_feats[:, 3].min(), src_feats[:, 3].max()
+                lo_d, hi_d = dst_feats[:, 3].min(), dst_feats[:, 3].max()
+                ratio = (src_feats[:, 3] - lo_s) / max(hi_s - lo_s, 1e-6)
+                out[:, 3] = ratio * (hi_d - lo_d) + lo_d
+            return out
+
+        new_parts.append(with_feats(new_i, pj, pi))
+        new_parts.append(with_feats(new_j, pi, pj))
+        drop_mask |= mi | mj
+
+    if not new_parts:
+        return gt_boxes, points
+    points = np.concatenate([points[~drop_mask]] + new_parts, axis=0)
+    return gt_boxes, points.astype(np.float32)

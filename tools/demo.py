@@ -19,6 +19,8 @@ def main():
                         help="a point cloud file or a directory of them")
     parser.add_argument("--ckpt", type=str, default=None)
     parser.add_argument("--ext", type=str, default=".bin", choices=[".bin", ".npy"])
+    parser.add_argument("--save_viz", type=str, default=None,
+                        help="directory for BEV PNG renders of each sample")
     args = parser.parse_args()
 
     import jax
@@ -68,6 +70,21 @@ def main():
                 "  %-10s score=%.3f xyz=(%.1f, %.1f, %.1f) lwh=(%.1f, %.1f, %.1f) yaw=%.2f",
                 name, s, *b[:7],
             )
+        if args.save_viz:
+            from com_tpu.utils.visualize import draw_scene_bev
+
+            out_dir = Path(args.save_viz)
+            out_dir.mkdir(parents=True, exist_ok=True)
+            pts = batch["points"][0][batch["points_mask"][0]] \
+                if "points_mask" in batch else batch["points"][0]
+            out_png = out_dir / f"sample_{idx:04d}.png"
+            draw_scene_bev(
+                pts, pred_boxes=boxes[0][v], pred_scores=scores[0][v],
+                pred_labels=labels[0][v], class_names=list(cfg.CLASS_NAMES),
+                point_range=dataset.point_cloud_range, save_path=out_png,
+                title=f"sample {idx}",
+            )
+            logger.info("  wrote %s", out_png)
 
 
 if __name__ == "__main__":
