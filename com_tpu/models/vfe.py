@@ -236,6 +236,19 @@ class DynamicPillarVFE(nn.Module):
     (B, H, W, C) directly.  Functional equivalent of
     DynamicPillarVFE + PointPillarScatter in the reference, with the BEV grid
     itself as the segment space.
+
+    Two device strategies, selected by SORTED_SCAN (default True):
+
+    * sorted-scan (TPU flagship): per-sample sort of points by pillar id,
+      then every "pool over pillar, broadcast back" is a contiguous-run scan
+      served by the Pallas kernels in ops/pallas/seg_scan.py (~2.9 ms per
+      (327k, 64) broadcast vs ~15 ms for XLA's scatter+gather).  Only the
+      final canvas write remains a (sorted-hint) XLA segment op.  On non-TPU
+      backends the scan op itself falls back to segment ops, so the path
+      runs everywhere; auto-SPMD multi-chip configs should set
+      SORTED_SCAN: False until the kernel has a custom partitioner.
+    * segment ops over the dense BEV canvas as the segment space (the
+      round-1 path, kept as the cross-backend baseline and parity oracle).
     """
 
     model_cfg: dict
@@ -246,6 +259,94 @@ class DynamicPillarVFE(nn.Module):
 
     @nn.compact
     def __call__(self, batch, train: bool = True):
+        if self.model_cfg.get("SORTED_SCAN", True):
+            return self._sorted_scan(batch, train)
+        return self._segment_ops(batch, train)
+
+    def _sorted_scan(self, batch, train: bool):
+        from ..ops.pallas.seg_scan import run_bcast
+
+        points = batch["points"]  # (B, N, F)
+        pmask = batch["points_mask"]  # (B, N)
+        b, n, f = points.shape
+        nx, ny, _ = (int(g) for g in self.grid_size)
+        hw = nx * ny
+        vx, vy, vz = self.voxel_size
+        x0, y0, z0 = self.point_cloud_range[:3]
+        pt = points.dtype
+
+        force = self.model_cfg.get("SORTED_SCAN_FORCE", None)  # tests
+        flat, in_range = point_voxel_ids(
+            points[..., :3], self.point_cloud_range, self.voxel_size, self.grid_size
+        )  # (B, N) in [0, hw]
+        valid = pmask & in_range
+        seg = jnp.where(valid, flat, hw)  # per-sample ids; trash run = hw
+        # one batched row-sort (last axis) carrying the point columns along
+        cols = [points[..., k] for k in range(f)] + [valid.astype(pt)]
+        sorted_ = jax.lax.sort([seg] + cols, num_keys=1)
+        sseg = sorted_[0]
+        spts = jnp.stack(sorted_[1 : 1 + f], axis=-1)  # (B, N, F)
+        smask = sorted_[-1] > 0.5
+        ones = smask.astype(pt)[..., None]
+        sxyz = spts[..., :3]
+
+        # cluster mean via one sum-broadcast over [x, y, z, 1] (pad to 8)
+        stats_in = jnp.concatenate(
+            [sxyz * ones, ones, jnp.zeros((b, n, 4), pt)], axis=-1
+        )
+        stats = run_bcast(stats_in, sseg, "sum", force)
+        cnt = jnp.clip(stats[..., 3:4], 1.0, None)
+        cluster_mean = stats[..., :3] / cnt
+
+        cell_x = (sseg % nx).astype(pt) * vx + (vx / 2 + x0)
+        cell_y = (sseg // nx).astype(pt) * vy + (vy / 2 + y0)
+        cell_z = jnp.full_like(cell_x, vz / 2 + z0)
+        center = jnp.stack([cell_x, cell_y, cell_z], axis=-1)
+
+        feats = decorate_points(
+            sxyz,
+            spts[..., 3:],
+            center,
+            cluster_mean,
+            self.model_cfg.get("USE_ABSLOTE_XYZ", True),
+        )
+        if self.model_cfg.get("WITH_DISTANCE", False):
+            feats = jnp.concatenate(
+                [feats, jnp.linalg.norm(sxyz, axis=-1, keepdims=True)], axis=-1
+            )
+        feats = feats * ones
+
+        dt = jnp.bfloat16 if self.model_cfg.get("MIXED_PRECISION", False) else None
+        num_filters = list(self.model_cfg["NUM_FILTERS"])
+        # global ids with stride hw+1 keep per-sample trash runs separate and
+        # the flattened index stream sorted, so the canvas scatter gets the
+        # indices_are_sorted fast path
+        segg = (sseg + jnp.arange(b, dtype=jnp.int32)[:, None] * (hw + 1)).reshape(-1)
+        pooled = None
+        for i, out in enumerate(num_filters):
+            last = i == len(num_filters) - 1
+
+            def pool(x, last=last):
+                if not last:
+                    xm = run_bcast(x, sseg, "max", force)
+                    return xm, xm
+                c = x.shape[-1]
+                canvas = jax.ops.segment_max(
+                    x.reshape(b * n, c), segg,
+                    num_segments=b * (hw + 1), indices_are_sorted=True,
+                )
+                canvas = jnp.where(
+                    jnp.isfinite(canvas), canvas, jnp.zeros((), canvas.dtype)
+                )
+                return canvas.reshape(b, hw + 1, c)[:, :hw], x
+
+            pooled, feats = _PFNLayer(out, last, dtype=dt)(feats, smask, pool, train)
+
+        c = pooled.shape[-1]
+        batch["spatial_features"] = pooled.reshape(b, ny, nx, c)
+        return batch
+
+    def _segment_ops(self, batch, train: bool):
         points = batch["points"]  # (B, N, F)
         pmask = batch["points_mask"]  # (B, N)
         b, n, f = points.shape

@@ -1,0 +1,67 @@
+"""Parity tests for the Pallas segmented-scan broadcast (ops/pallas/seg_scan).
+
+The interpret-mode kernel must match the XLA segment-op oracle bit-for-bit
+for max and to float tolerance for sum, including runs that span tile
+boundaries and whole samples, and through the custom VJP.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from com_tpu.ops.pallas.seg_scan import _TILE, run_bcast
+
+
+def _mk(rng, b, n, nseg, c=8):
+    seg = np.sort(rng.randint(0, nseg, (b, n)), axis=1).astype(np.int32)
+    vals = rng.randn(b, n, c).astype(np.float32)
+    return jnp.asarray(vals), jnp.asarray(seg)
+
+
+@pytest.mark.parametrize("op", ["sum", "max"])
+@pytest.mark.parametrize(
+    "b,n,nseg",
+    [
+        (2, 300, 10),  # padding below one tile
+        (1, 2 * _TILE, 1),  # one run spanning every tile
+        (3, 3 * _TILE, 700),  # runs crossing tile boundaries
+        (2, _TILE + 17, _TILE),  # mostly singleton runs + ragged pad
+    ],
+)
+def test_interpret_matches_oracle(op, b, n, nseg):
+    rng = np.random.RandomState(hash((op, b, n, nseg)) % 2**31)
+    vals, seg = _mk(rng, b, n, nseg)
+    got = run_bcast(vals, seg, op, "interpret")
+    want = run_bcast(vals, seg, op, "cpu")
+    if op == "max":
+        assert jnp.array_equal(got, want)
+    else:
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("op", ["sum", "max"])
+def test_grad_matches_oracle(op):
+    rng = np.random.RandomState(7)
+    vals, seg = _mk(rng, 2, 900, 60)
+    w = jnp.asarray(rng.randn(*vals.shape).astype(np.float32))
+
+    g1 = jax.grad(lambda v: (run_bcast(v, seg, op, "interpret") * w).sum())(vals)
+    g2 = jax.grad(lambda v: (run_bcast(v, seg, op, "cpu") * w).sum())(vals)
+    np.testing.assert_allclose(g1, g2, rtol=1e-5, atol=1e-5)
+
+
+def test_samples_do_not_mix():
+    # same segment id in consecutive samples must stay separate runs
+    vals = jnp.ones((2, _TILE, 4), jnp.float32)
+    seg = jnp.zeros((2, _TILE), jnp.int32)
+    out = run_bcast(vals, seg, "sum", "interpret")
+    np.testing.assert_allclose(out, np.full((2, _TILE, 4), _TILE, np.float32))
+
+
+def test_bf16_max_exact():
+    rng = np.random.RandomState(3)
+    vals, seg = _mk(rng, 2, 2 * _TILE, 200)
+    v16 = vals.astype(jnp.bfloat16)
+    got = run_bcast(v16, seg, "max", "interpret")
+    want = run_bcast(v16, seg, "max", "cpu")
+    assert jnp.array_equal(got.astype(jnp.float32), want.astype(jnp.float32))

@@ -1,0 +1,91 @@
+"""Parity: DynamicPillarVFE sorted-scan path vs the segment-op path.
+
+Same parameters, same batch -> the two strategies must produce the same BEV
+canvas (max-pool is order-invariant; the sums differ only by float
+association).  Runs the sorted path both through the backend fallback and
+through the Pallas kernels in interpret mode.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from com_tpu.models.vfe import DynamicPillarVFE
+
+GRID = (32, 32, 1)
+PC_RANGE = (-5.12, -5.12, -2.0, 5.12, 5.12, 4.0)
+VOXEL = (0.32, 0.32, 6.0)
+
+
+def _batch(rng, b=2, n=3000):
+    pts = np.concatenate(
+        [
+            rng.uniform(-6, 6, (b, n, 2)),  # some out of range
+            rng.uniform(-2.5, 4.5, (b, n, 1)),
+            rng.rand(b, n, 2),
+        ],
+        axis=2,
+    ).astype(np.float32)
+    mask = rng.rand(b, n) > 0.1
+    return {
+        "points": jnp.asarray(pts),
+        "points_mask": jnp.asarray(mask),
+    }
+
+
+def _run(cfg_extra, batch):
+    cfg = {
+        "NUM_FILTERS": [32, 64],
+        "USE_ABSLOTE_XYZ": True,
+        "WITH_DISTANCE": True,
+        **cfg_extra,
+    }
+    m = DynamicPillarVFE(
+        model_cfg=cfg,
+        num_point_features=5,
+        voxel_size=VOXEL,
+        point_cloud_range=PC_RANGE,
+        grid_size=GRID,
+    )
+    variables = m.init(jax.random.PRNGKey(0), dict(batch), train=False)
+    out = m.apply(variables, dict(batch), train=False)
+    return out["spatial_features"], variables
+
+
+@pytest.mark.parametrize("force", [None, "interpret"])
+def test_sorted_matches_segment_path(force):
+    rng = np.random.RandomState(0)
+    batch = _batch(rng)
+    ref, _ = _run({"SORTED_SCAN": False}, batch)
+    extra = {"SORTED_SCAN": True}
+    if force:
+        extra["SORTED_SCAN_FORCE"] = force
+    got, _ = _run(extra, batch)
+    assert got.shape == ref.shape == (2, GRID[1], GRID[0], 64)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+
+def test_sorted_path_grads_flow():
+    rng = np.random.RandomState(1)
+    batch = _batch(rng, b=1, n=1500)
+    _, variables = _run({"SORTED_SCAN": True}, batch)
+    m = DynamicPillarVFE(
+        model_cfg={"NUM_FILTERS": [32, 64], "SORTED_SCAN": True},
+        num_point_features=5,
+        voxel_size=VOXEL,
+        point_cloud_range=PC_RANGE,
+        grid_size=GRID,
+    )
+    variables = m.init(jax.random.PRNGKey(0), dict(batch), train=False)
+
+    def loss(params):
+        out = m.apply(
+            {**variables, "params": params}, dict(batch), train=True,
+            mutable=["batch_stats"],
+        )[0]
+        return (out["spatial_features"] ** 2).mean()
+
+    g = jax.grad(loss)(variables["params"])
+    norms = [float(jnp.abs(x).sum()) for x in jax.tree_util.tree_leaves(g)]
+    assert all(np.isfinite(norms))
+    assert sum(norms) > 0
