@@ -65,6 +65,24 @@ class PointIntraPartOffsetHead(nn.Module):
         batch["point_part_offset"] = jax.nn.sigmoid(part)
         batch["point_part_logits"] = part
         batch["point_cls_scores"] = jax.nn.sigmoid(cls.max(axis=-1))
+
+        if "REG_FC" in self.model_cfg:
+            # PartA2-free mode (point_intra_part_head.py with box layers):
+            # the part head doubles as the proposal generator, so it also
+            # regresses a PointResidualCoder box per point like PointHeadBox
+            from ...ops.boxes import PointResidualCoder
+
+            coder = PointResidualCoder(
+                **self.model_cfg.get("TARGET_CONFIG", {}).get(
+                    "BOX_CODER_CONFIG", {})
+            )
+            box = branch(feats, self.model_cfg["REG_FC"], coder.code_size,
+                         "box")
+            batch["point_box_preds_raw"] = box
+            pred_classes = cls.argmax(axis=-1) + 1
+            batch["point_box_preds"] = coder.decode(
+                box, batch["point_coords"], pred_classes, xp=jnp)
+            batch["point_pred_labels"] = pred_classes
         return batch
 
 

@@ -40,6 +40,33 @@ class DatasetMeta:
         self.num_point_features = int(num_point_features)
 
 
+def decode_center_proposals(batch, dh_cfg, meta, k: int = 512):
+    """Decode per-head top-k boxes from a CenterHead's pred_dicts into flat
+    (boxes, scores, labels) proposal candidates (fixed shapes, no NMS —
+    callers apply proposal_layer / top-k)."""
+    import jax.numpy as jnp
+
+    from .dense_heads.center_head import decode_center_boxes
+
+    stride = int(dh_cfg["TARGET_ASSIGNER_CONFIG"].get("FEATURE_MAP_STRIDE", 1))
+    class_names = list(meta.class_names)
+    bx, sc, lb = [], [], []
+    for pred_dict, names in zip(batch["pred_dicts"],
+                                dh_cfg["CLASS_NAMES_EACH_HEAD"]):
+        ids = tuple(class_names.index(n) + 1 for n in names if n in class_names)
+        hm = pred_dict["hm"]
+        k_eff = min(k, int(hm.shape[1] * hm.shape[2] * hm.shape[3]))
+        boxes, scores, labels, valid = decode_center_boxes(
+            pred_dict, ids, meta.point_cloud_range, meta.voxel_size, stride,
+            k=k_eff, head_order=tuple(dh_cfg["SEPARATE_HEAD_CFG"]["HEAD_ORDER"]),
+        )
+        bx.append(boxes)
+        sc.append(scores * valid.astype(scores.dtype))
+        lb.append(labels)
+    return (jnp.concatenate(bx, axis=1), jnp.concatenate(sc, axis=1),
+            jnp.concatenate(lb, axis=1))
+
+
 class Detector3D(nn.Module):
     """Generic slot-ordered detector; concrete detectors set the slots used."""
 
@@ -190,27 +217,35 @@ class PVRCNN(Detector3D):
         head_cfg = self.model_cfg["DENSE_HEAD"]
         nms_cfg = dict(self.model_cfg.get("ROI_HEAD", {}).get("NMS_CONFIG", {}))
         nms_cfg.update(nms_cfg.get("TRAIN" if train else "TEST", {}))
-        anchors_flat, _, _, _, _ = build_anchors(
-            head_cfg, list(self.meta.class_names), self.meta.grid_size,
-            self.meta.point_cloud_range,
-        )
-        boxes, scores, labels = decode_anchor_boxes(
-            batch, jnp.asarray(anchors_flat), None,
-            len(self.meta.class_names), ResidualCoder(),
-            dir_cfg=head_cfg if head_cfg.get("USE_DIRECTION_CLASSIFIER") else None,
-        )
+        if "ANCHOR_GENERATOR_CONFIG" in head_cfg:
+            anchors_flat, _, _, _, _ = build_anchors(
+                head_cfg, list(self.meta.class_names), self.meta.grid_size,
+                self.meta.point_cloud_range,
+            )
+            boxes, scores, labels = decode_anchor_boxes(
+                batch, jnp.asarray(anchors_flat), None,
+                len(self.meta.class_names), ResidualCoder(),
+                dir_cfg=head_cfg if head_cfg.get("USE_DIRECTION_CLASSIFIER") else None,
+            )
+        else:
+            # CenterHead RPN (pv_rcnn_with_centerhead_rpn.yaml /
+            # voxel_rcnn_with_centerhead_dyn_voxel.yaml compositions)
+            boxes, scores, labels = decode_center_proposals(
+                batch, head_cfg, self.meta)
         boxes = jax.lax.stop_gradient(boxes)
         scores = jax.lax.stop_gradient(scores)
         if "NMS_THRESH" in nms_cfg:
             rois, roi_scores, roi_labels, _ = proposal_layer(
                 boxes, scores, labels,
-                nms_pre=int(nms_cfg.get("NMS_PRE_MAXSIZE", 4096)),
+                nms_pre=min(int(nms_cfg.get("NMS_PRE_MAXSIZE", 4096)),
+                            int(boxes.shape[1])),
                 nms_post=int(nms_cfg.get("NMS_POST_MAXSIZE", 512)),
                 nms_thresh=float(nms_cfg["NMS_THRESH"]),
                 use_fast_nms=nms_cfg.get("NMS_TYPE") == "fast_nms",
             )
             return rois, roi_scores, roi_labels
-        num_p = int(nms_cfg.get("TRAIN_PRE" if train else "TEST_PRE", 512))
+        num_p = min(int(nms_cfg.get("TRAIN_PRE" if train else "TEST_PRE", 512)),
+                    int(scores.shape[1]))
         top, idx = jax.lax.top_k(scores, num_p)
         take = jax.vmap(lambda a, i: a[i])
         return take(boxes, idx), top, take(labels, idx)
@@ -493,20 +528,26 @@ class PointRCNN(PVRCNN):
         import jax
         import jax.numpy as jnp
 
-        from ..utils.registry import ROI_HEADS
+        from ..utils.registry import DENSE_HEADS, ROI_HEADS
         from . import pointnet2_backbone as _pn2  # noqa: F401 (register)
         from . import roi_heads as _rh  # noqa: F401
-        from .dense_heads.point_head import PointHeadBox
         from .roi_heads.proposal_layer import proposal_layer
 
         b3d_cfg = self.model_cfg["BACKBONE_3D"]
-        backbone = BACKBONES_3D.get(b3d_cfg["NAME"])(
-            model_cfg=b3d_cfg, input_channels=self.meta.num_point_features,
-            name="backbone_3d")
-        batch = backbone(batch, train)
+        if "VFE" in self.model_cfg:
+            # PartA2-free composition (PartA2_free.yaml): MeanVFE + UNetV2
+            # provide the per-point features instead of PointNet2MSG
+            batch = self._build_vfe()(batch, train)
+            batch = self._build_backbone3d()(batch, train)
+        else:
+            backbone = BACKBONES_3D.get(b3d_cfg["NAME"])(
+                model_cfg=b3d_cfg, input_channels=self.meta.num_point_features,
+                name="backbone_3d")
+            batch = backbone(batch, train)
 
         head_cfg = self.model_cfg["POINT_HEAD"]
-        batch = PointHeadBox(
+        head_cls = DENSE_HEADS.get(head_cfg.get("NAME", "PointHeadBox"))
+        batch = head_cls(
             model_cfg=head_cfg, num_class=len(self.meta.class_names),
             name="point_head")(batch, train)
 
@@ -604,6 +645,57 @@ class MPPNet(nn.Module):
         head = MPPNetHead(model_cfg=head_cfg, num_class=1, name="roi_head")
         batch = head(batch, train)
         return batch
+
+
+@DETECTORS.register
+class MPPNetE2E(Detector3D):
+    """MPPNet end-to-end streaming detector (detectors/mppnet_e2e.py role):
+    full first stage (VFE -> 3D backbone -> BEV -> CenterHead with velocity)
+    plus the memory-bank refinement head (mppnet_memory_bank_e2e.py).
+
+    The rolling MemoryBank is an explicit pytree: pass it in
+    batch["memory_bank"]; when absent (first frame of a sequence, or a
+    compile check) a zero-initialized bank over the decoded proposals is
+    built in-graph.  The streaming driver
+    (com_tpu.models.mppnet.mppnet_e2e_stream_step) owns the roll/push
+    between frames."""
+
+    @nn.compact
+    def __call__(self, batch, train: bool = True):
+        import jax
+        import jax.numpy as jnp
+
+        from .mppnet import MPPNetHeadE2E, init_bank
+
+        batch = self._build_vfe()(batch, train)
+        batch = self._build_backbone3d()(batch, train)
+        if "spatial_features" not in batch:
+            batch = self._build_map_to_bev()(batch, train)
+        batch = self._build_backbone2d(batch["spatial_features"].shape[-1])(batch, train)
+        batch = self._build_dense_head()(batch, train)
+
+        head_cfg = self.model_cfg["ROI_HEAD"]
+        if "rois" not in batch:
+            # decode fixed-size proposals from the center head's top-k
+            num_p = int(head_cfg.get("TARGET_CONFIG", {}).get("ROI_PER_IMAGE", 96))
+            boxes, scores, labels = decode_center_proposals(
+                batch, self.model_cfg["DENSE_HEAD"], self.meta, k=num_p)
+            top, idx = jax.lax.top_k(scores, min(num_p, int(scores.shape[1])))
+            take = jax.vmap(lambda a, i: a[i])
+            batch["rois"] = jax.lax.stop_gradient(take(boxes, idx))
+            batch["roi_scores"] = jax.lax.stop_gradient(top)
+            batch["roi_labels"] = take(labels, idx)
+        if "memory_bank" not in batch:
+            f = int(head_cfg["Transformer"]["num_frames"])
+            g3 = int(head_cfg["Transformer"]["num_proxy_points"])
+            c = int(head_cfg["TRANS_INPUT"])
+            zero_geo = jnp.zeros((*batch["rois"].shape[:2], g3, c), jnp.float32)
+            batch["memory_bank"] = init_bank(
+                batch["rois"], batch["roi_labels"], batch["roi_scores"],
+                zero_geo, f)
+
+        head = MPPNetHeadE2E(model_cfg=head_cfg, num_class=1, name="roi_head")
+        return head(batch, train)
 
 
 def build_network(model_cfg, meta: DatasetMeta):
