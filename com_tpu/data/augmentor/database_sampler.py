@@ -95,14 +95,20 @@ class DataBaseSampler:
         }
 
     def sample_with_fixed_number(self, class_name, sample_group):
-        """Round-robin pointer sampling with per-epoch reshuffle
-        (database_sampler.py:135-155)."""
+        """Round-robin pointer sampling with reshuffle-on-exhaust.
+
+        Exact reference semantics (database_sampler.py:138-157): reshuffle
+        only when the pointer has run past the database, so the batch before
+        a reshuffle may be SHORTER than sample_num (the tail of the
+        permutation) — seed parity depends on matching this, including the
+        single np.random.permutation call per exhaust
+        (tests/test_seed_parity.py golden-checks the index stream)."""
         sample_num = int(sample_group["sample_num"])
         pointer, indices = sample_group["pointer"], sample_group["indices"]
         infos = self.db_infos[class_name]
         if len(infos) == 0:
             return []
-        if pointer + sample_num >= len(infos):
+        if pointer >= len(infos):
             indices = self.rng.permutation(len(infos))
             pointer = 0
         sampled = [infos[i] for i in indices[pointer : pointer + sample_num]]

@@ -14,7 +14,9 @@ from ...ops.boxes import points_in_rbbox
 
 
 def random_flip_along_x(gt_boxes, points, rng=np.random):
-    if rng.random() < 0.5:
+    # choice() (not random()) so the consumed RNG stream matches the
+    # reference bit-for-bit under SEED_PARITY (augmentor_utils.py:16)
+    if rng.choice([False, True], replace=False, p=[0.5, 0.5]):
         gt_boxes[:, 1] = -gt_boxes[:, 1]
         gt_boxes[:, 6] = -gt_boxes[:, 6]
         points[:, 1] = -points[:, 1]
@@ -24,7 +26,7 @@ def random_flip_along_x(gt_boxes, points, rng=np.random):
 
 
 def random_flip_along_y(gt_boxes, points, rng=np.random):
-    if rng.random() < 0.5:
+    if rng.choice([False, True], replace=False, p=[0.5, 0.5]):
         gt_boxes[:, 0] = -gt_boxes[:, 0]
         gt_boxes[:, 6] = -(gt_boxes[:, 6] + np.pi)
         points[:, 0] = -points[:, 0]

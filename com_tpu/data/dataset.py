@@ -36,8 +36,15 @@ class DatasetTemplate:
         # one RandomState shared by augmentor/processor/collate, reseeded per
         # (seed, epoch, index) in _reseed_for_item — per-sample determinism
         # independent of worker scheduling (stronger than the reference's
-        # per-worker seeding, common_utils.py:111-117)
-        self.rng = np.random.RandomState(self.seed)
+        # per-worker seeding, common_utils.py:111-117).
+        # DATA_AUGMENTOR.SEED_PARITY instead routes every draw through the
+        # GLOBAL np.random stream in the reference's call order (the
+        # BASELINE.md "GT-Aug sampling seed-matched" target): seed np.random
+        # once like the reference's train.py seed 666+rank and the sampled
+        # db indices / world-aug decisions replay the PyTorch run.
+        self.seed_parity = bool(
+            (dataset_cfg.get("DATA_AUGMENTOR") or {}).get("SEED_PARITY", False))
+        self.rng = np.random if self.seed_parity else np.random.RandomState(self.seed)
 
         self.point_cloud_range = np.asarray(dataset_cfg["POINT_CLOUD_RANGE"], np.float32)
         self.point_feature_encoder = PointFeatureEncoder(dataset_cfg["POINT_FEATURE_ENCODING"])
@@ -78,6 +85,8 @@ class DatasetTemplate:
             self.data_augmentor.gt_sampler.epoch = epoch
 
     def _reseed_for_item(self, index):
+        if self.seed_parity:
+            return  # global-stream mode: never reseed (reference semantics)
         self.rng.seed((self.seed * 1_000_003 + self.epoch * 9_973 + index) % 2**31)
 
     def set_confidence_groups(self, conf):
