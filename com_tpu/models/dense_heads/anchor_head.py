@@ -234,17 +234,30 @@ def decode_anchor_boxes(batch, anchors_flat, anchor_class_ids, num_class,
     return boxes, scores, labels
 
 
-def anchor_post_process(boxes, scores, labels, nms_cfg, score_thresh=0.1):
-    """Score filter + topk-presort + rotated NMS, fixed shapes."""
+def anchor_post_process(boxes, scores, labels, nms_cfg, score_thresh=0.1,
+                        num_classes: int | None = None):
+    """Score filter + topk-presort + rotated NMS, fixed shapes.
+
+    MULTI_CLASSES_NMS (model_nms_utils.multi_classes_nms role) suppresses
+    within each class independently; requires num_classes."""
+    from ...ops.nms import multi_class_nms_bev
+
     pre = int(nms_cfg.get("NMS_PRE_MAXSIZE", 4096))
     post = int(nms_cfg.get("NMS_POST_MAXSIZE", 500))
+    multi = bool(nms_cfg.get("MULTI_CLASSES_NMS", False)) and num_classes
 
     def one(bx, sc, lb):
         k = min(pre, sc.shape[0])
         top_sc, idx = jax.lax.top_k(sc, k)
         top_bx, top_lb = bx[idx], lb[idx]
         valid = top_sc > score_thresh
-        sel, sel_valid = nms_bev(top_bx, top_sc, valid, float(nms_cfg["NMS_THRESH"]), post)
+        if multi:
+            sel, sel_valid = multi_class_nms_bev(
+                top_bx, top_sc, top_lb, valid, int(num_classes),
+                float(nms_cfg["NMS_THRESH"]), post)
+        else:
+            sel, sel_valid = nms_bev(
+                top_bx, top_sc, valid, float(nms_cfg["NMS_THRESH"]), post)
         return top_bx[sel], top_sc[sel], top_lb[sel], sel_valid
 
     return jax.vmap(one)(boxes, scores, labels)

@@ -58,11 +58,34 @@ class MaskedBatchNorm(nn.Module):
         return y.astype(x.dtype)
 
 
+class PallasConv3x3(nn.Module):
+    """3x3 stride-1 SAME conv served by the Pallas row-tile kernel
+    (ops/pallas/conv2d.py) on TPU, lax.conv elsewhere.  Param tree matches
+    nn.Conv(use_bias=False) — name this module "Conv_0" to keep checkpoints
+    interchangeable with the nn.Conv path."""
+
+    features: int
+    dtype: object = None
+
+    @nn.compact
+    def __call__(self, x):
+        from ..ops.pallas.conv2d import conv3x3
+
+        cin = x.shape[-1]
+        k = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (3, 3, cin, self.features), jnp.float32)
+        dt = self.dtype or x.dtype
+        return conv3x3(x.astype(dt), k.astype(dt))
+
+
 class ConvBNReLU(nn.Module):
     """Conv2D(NHWC) + BN + ReLU, the reference's basic 2D block.
 
     dtype=bfloat16 runs the conv (the FLOPs) on the MXU in bf16 with f32
     params and f32 BN statistics — the standard TPU mixed-precision recipe.
+    Stride-1 3x3 convs route through the Pallas kernel (pallas=False forces
+    XLA's conv emitter).
     """
 
     features: int
@@ -70,17 +93,23 @@ class ConvBNReLU(nn.Module):
     stride: int = 1
     use_bias: bool = False
     dtype: object = None
+    pallas: bool = True
 
     @nn.compact
     def __call__(self, x, train: bool = True):
-        x = nn.Conv(
-            self.features,
-            (self.kernel, self.kernel),
-            strides=(self.stride, self.stride),
-            padding="SAME",
-            use_bias=self.use_bias,
-            dtype=self.dtype,
-        )(x)
+        if (self.pallas and self.kernel == 3 and self.stride == 1
+                and not self.use_bias):
+            x = PallasConv3x3(self.features, dtype=self.dtype,
+                              name="Conv_0")(x)
+        else:
+            x = nn.Conv(
+                self.features,
+                (self.kernel, self.kernel),
+                strides=(self.stride, self.stride),
+                padding="SAME",
+                use_bias=self.use_bias,
+                dtype=self.dtype,
+            )(x)
         x = nn.BatchNorm(
             use_running_average=not train, momentum=0.99, epsilon=1e-3,
             dtype=self.dtype,

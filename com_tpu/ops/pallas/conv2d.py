@@ -1,0 +1,225 @@
+"""Pallas TPU kernel: 3x3 stride-1 SAME conv over NHWC BEV feature maps.
+
+XLA's conv_general_dilated runs the BEV backbone's large-spatial/narrow-
+channel stages (468x468x64) at ~8-9 TFLOPs on v5e — the train step's
+biggest cost after the VFE fix.  The same contraction expressed as nine
+accumulated MXU dots over VMEM-resident row tiles avoids whatever layout
+the conv emitter picks:
+
+  grid = (B, H/TH); each step sees row tiles [i-1], [i], [i+1] of the input
+  (three BlockSpec views of the same array — halo without overlapping
+  blocks), assembles a W-padded (TH+2, W+2, C) window in VMEM scratch, and
+  accumulates  acc += window[dy:dy+TH, dx:dx+W] @ w[dy, dx]  for the nine
+  taps in f32, writing the (TH, W, Cout) tile in the input dtype.
+
+Backward is two more instances of the same machinery (custom_vjp):
+  dx = conv3x3(dy, rot180(w).swap(in,out))      — spatial correlation dual
+  dw[dy,dx] = window(x)^T @ dy                  — K-blocked matmul
+                                                  accumulated across the grid
+
+Replaces the role of torch.nn.Conv2d inside BaseBEVBackbone / CenterHead
+shared convs (reference base_bev_backbone.py:34-76, centerpoint head
+convs); non-TPU backends fall back to lax.conv (also the parity oracle in
+tests/test_pallas_conv.py).  Only stride-1 3x3 uses this kernel — strided
+downsample convs, 1x1 laterals, and transposed convs stay on XLA where its
+emitters are fine (measured 24-41 TFLOPs).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+def _pick_th(wd, cin, itemsize):
+    # keep 3 double-buffered input tiles + the (TH+2, W+2, C) scratch well
+    # under VMEM: shrink the row tile as the window row grows
+    row_bytes = (wd + 2) * cin * itemsize
+    for th in (32, 16, 8):
+        if (th + 2) * row_bytes * 4 <= 6 * 1024 * 1024:
+            return th
+    return 8
+
+
+def _conv_kernel(th, w_dim, cin, cout, top_ref, mid_ref, bot_ref, w_ref,
+                 out_ref, wpad_ref):
+    i = pl.program_id(1)
+    n_i = pl.num_programs(1)
+
+    # assemble the (TH+2, W+2, C) zero-padded window
+    wpad_ref[...] = jnp.zeros_like(wpad_ref)
+    top_row = top_ref[0, th - 1]  # (W, C) last row of tile i-1
+    bot_row = bot_ref[0, 0]  # (W, C) first row of tile i+1
+    zero = jnp.zeros_like(top_row)
+    wpad_ref[0, 1 : w_dim + 1] = jnp.where(i > 0, top_row, zero)
+    wpad_ref[1 : th + 1, 1 : w_dim + 1] = mid_ref[0]
+    wpad_ref[th + 1, 1 : w_dim + 1] = jnp.where(i < n_i - 1, bot_row, zero)
+
+    acc = jnp.zeros((th * w_dim, cout), jnp.float32)
+    for dy in range(3):
+        for dx in range(3):
+            sl = wpad_ref[dy : dy + th, dx : dx + w_dim].reshape(
+                th * w_dim, cin)
+            acc = acc + jnp.dot(sl, w_ref[dy, dx],
+                                preferred_element_type=jnp.float32)
+    out_ref[0] = acc.reshape(th, w_dim, cout).astype(out_ref.dtype)
+
+
+def _wgrad_kernel(th, w_dim, cin, cout, top_ref, mid_ref, bot_ref, g_ref,
+                  dw_ref, wpad_ref):
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    n_i = pl.num_programs(1)
+
+    wpad_ref[...] = jnp.zeros_like(wpad_ref)
+    top_row = top_ref[0, th - 1]
+    bot_row = bot_ref[0, 0]
+    zero = jnp.zeros_like(top_row)
+    wpad_ref[0, 1 : w_dim + 1] = jnp.where(i > 0, top_row, zero)
+    wpad_ref[1 : th + 1, 1 : w_dim + 1] = mid_ref[0]
+    wpad_ref[th + 1, 1 : w_dim + 1] = jnp.where(i < n_i - 1, bot_row, zero)
+
+    g = g_ref[0].reshape(th * w_dim, cout)
+    is_first = jnp.logical_and(b == 0, i == 0)
+    for dy in range(3):
+        for dx in range(3):
+            sl = wpad_ref[dy : dy + th, dx : dx + w_dim].reshape(
+                th * w_dim, cin)
+            contrib = jax.lax.dot_general(
+                sl, g, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            prev = jnp.where(is_first, jnp.zeros_like(contrib),
+                             dw_ref[dy, dx])
+            dw_ref[dy, dx] = prev + contrib
+
+
+def _halo_specs(th, w_dim, c, grid_h):
+    def clamp(f):
+        return lambda b, i: (b, f(i), 0, 0)
+
+    blk = (1, th, w_dim, c)
+    return [
+        pl.BlockSpec(blk, clamp(lambda i: jnp.maximum(i - 1, 0)),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(blk, clamp(lambda i: i), memory_space=pltpu.VMEM),
+        pl.BlockSpec(blk, clamp(lambda i: jnp.minimum(i + 1, grid_h - 1)),
+                     memory_space=pltpu.VMEM),
+    ]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _conv3x3_fwd_pallas(x, w, interpret=False):
+    b, h, wd, cin = x.shape
+    cout = w.shape[-1]
+    th = _pick_th(wd, cin, x.dtype.itemsize)
+    hpad = (-h) % th
+    if hpad:
+        x = jnp.pad(x, ((0, 0), (0, hpad), (0, 0), (0, 0)))
+    hp = h + hpad
+    grid_h = hp // th
+
+    out = pl.pallas_call(
+        functools.partial(_conv_kernel, th, wd, cin, cout),
+        out_shape=jax.ShapeDtypeStruct((b, hp, wd, cout), x.dtype),
+        grid=(b, grid_h),
+        in_specs=_halo_specs(th, wd, cin, grid_h)
+        + [pl.BlockSpec((3, 3, cin, cout), lambda b, i: (0, 0, 0, 0),
+                        memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, th, wd, cout), lambda b, i: (b, i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((th + 2, wd + 2, cin), x.dtype)],
+        interpret=interpret,
+    )(x, x, x, w)
+    return out[:, :h]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _conv3x3_wgrad_pallas(x, g, interpret=False):
+    b, h, wd, cin = x.shape
+    cout = g.shape[-1]
+    th = _pick_th(wd, cin, x.dtype.itemsize)
+    hpad = (-h) % th
+    if hpad:
+        x = jnp.pad(x, ((0, 0), (0, hpad), (0, 0), (0, 0)))
+        g = jnp.pad(g, ((0, 0), (0, hpad), (0, 0), (0, 0)))
+    hp = h + hpad
+    grid_h = hp // th
+
+    dw = pl.pallas_call(
+        functools.partial(_wgrad_kernel, th, wd, cin, cout),
+        out_shape=jax.ShapeDtypeStruct((3, 3, cin, cout), jnp.float32),
+        grid=(b, grid_h),
+        in_specs=_halo_specs(th, wd, cin, grid_h)
+        + [pl.BlockSpec((1, th, wd, cout), lambda b, i: (b, i, 0, 0),
+                        memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((3, 3, cin, cout), lambda b, i: (0, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((th + 2, wd + 2, cin), x.dtype)],
+        interpret=interpret,
+    )(x, x, x, g)
+    return dw
+
+
+def _conv3x3_ref(x, w):
+    return jax.lax.conv_general_dilated(
+        x, w, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+
+
+def _dispatch(force):
+    backend = force or jax.default_backend()
+    return backend
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def conv3x3(x, w, force: str | None = None):
+    """3x3 stride-1 SAME conv, NHWC x (B,H,W,Cin) @ w (3,3,Cin,Cout).
+
+    TPU: Pallas row-tile kernel.  Elsewhere (or force="cpu"): lax.conv.
+    force="interpret" runs the kernel in interpreter mode (tests).
+    """
+    backend = _dispatch(force)
+    if backend == "tpu":
+        return _conv3x3_fwd_pallas(x, w)
+    if backend == "interpret":
+        return _conv3x3_fwd_pallas(x, w, interpret=True)
+    return _conv3x3_ref(x, w)
+
+
+def _conv3x3_fwd(x, w, force):
+    return conv3x3(x, w, force), (x, w)
+
+
+def _conv3x3_bwd(force, res, g):
+    x, w = res
+    backend = _dispatch(force)
+    # dgrad: correlate the cotangent with the spatially-rotated,
+    # in/out-swapped kernel — again a 3x3 stride-1 SAME conv
+    w_rot = jnp.flip(jnp.flip(w, 0), 1).swapaxes(2, 3)
+    if backend == "tpu":
+        dx = _conv3x3_fwd_pallas(g, w_rot.astype(g.dtype))
+        dw = _conv3x3_wgrad_pallas(x, g)
+    elif backend == "interpret":
+        dx = _conv3x3_fwd_pallas(g, w_rot.astype(g.dtype), interpret=True)
+        dw = _conv3x3_wgrad_pallas(x, g, interpret=True)
+    else:
+        dx = _conv3x3_ref(g, w_rot.astype(g.dtype))
+        xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        h, wd = x.shape[1], x.shape[2]
+        taps = []
+        for dy in range(3):
+            row = []
+            for dxo in range(3):
+                sl = xp[:, dy : dy + h, dxo : dxo + wd, :]
+                row.append(jnp.einsum(
+                    "bhwc,bhwd->cd", sl.astype(jnp.float32),
+                    g.astype(jnp.float32)))
+            taps.append(jnp.stack(row))
+        dw = jnp.stack(taps)
+    return dx.astype(x.dtype), dw.astype(w.dtype)
+
+
+conv3x3.defvjp(_conv3x3_fwd, _conv3x3_bwd)

@@ -89,7 +89,8 @@ def _make_anchor_eval_step(net, model_cfg, class_names, meta):
             out, jnp.asarray(anchors_flat), None, len(class_names), coder,
             dir_cfg=head_cfg if head_cfg.get("USE_DIRECTION_CLASSIFIER") else None,
         )
-        return anchor_post_process(boxes, scores, labels, nms_cfg, score_thresh)
+        return anchor_post_process(boxes, scores, labels, nms_cfg, score_thresh,
+                                   num_classes=len(class_names))
 
     return eval_step
 
