@@ -281,6 +281,10 @@ class PVRCNN(Detector3D):
                 reg_fg_thresh=float(roi_cfg.get("REG_FG_THRESH", 0.55)),
                 cls_fg_thresh=float(roi_cfg.get("CLS_FG_THRESH", 0.75)),
                 cls_bg_thresh=float(roi_cfg.get("CLS_BG_THRESH", 0.25)),
+                cls_bg_thresh_lo=float(roi_cfg.get("CLS_BG_THRESH_LO", 0.1)),
+                hard_bg_ratio=float(roi_cfg.get("HARD_BG_RATIO", 0.8)),
+                rng=(self.make_rng("roi_sampling")
+                     if self.has_rng("roi_sampling") else None),
             )
             batch["roi_targets"] = targets
             batch["rois"] = targets.rois
@@ -333,6 +337,10 @@ class PVRCNNPlusPlus(PVRCNN):
                 reg_fg_thresh=float(roi_cfg.get("REG_FG_THRESH", 0.55)),
                 cls_fg_thresh=float(roi_cfg.get("CLS_FG_THRESH", 0.75)),
                 cls_bg_thresh=float(roi_cfg.get("CLS_BG_THRESH", 0.25)),
+                cls_bg_thresh_lo=float(roi_cfg.get("CLS_BG_THRESH_LO", 0.1)),
+                hard_bg_ratio=float(roi_cfg.get("HARD_BG_RATIO", 0.8)),
+                rng=(self.make_rng("roi_sampling")
+                     if self.has_rng("roi_sampling") else None),
             )
             batch["roi_targets"] = targets
             batch["rois"] = targets.rois
@@ -397,6 +405,10 @@ class SECONDNetIoU(PVRCNN):
                 reg_fg_thresh=float(roi_cfg.get("REG_FG_THRESH", 0.55)),
                 cls_fg_thresh=float(roi_cfg.get("CLS_FG_THRESH", 0.75)),
                 cls_bg_thresh=float(roi_cfg.get("CLS_BG_THRESH", 0.25)),
+                cls_bg_thresh_lo=float(roi_cfg.get("CLS_BG_THRESH_LO", 0.1)),
+                hard_bg_ratio=float(roi_cfg.get("HARD_BG_RATIO", 0.8)),
+                rng=(self.make_rng("roi_sampling")
+                     if self.has_rng("roi_sampling") else None),
             )
             batch["roi_targets"] = targets
             batch["rois"] = targets.rois
@@ -452,6 +464,10 @@ class PartA2Net(PVRCNN):
                 reg_fg_thresh=float(roi_cfg.get("REG_FG_THRESH", 0.55)),
                 cls_fg_thresh=float(roi_cfg.get("CLS_FG_THRESH", 0.75)),
                 cls_bg_thresh=float(roi_cfg.get("CLS_BG_THRESH", 0.25)),
+                cls_bg_thresh_lo=float(roi_cfg.get("CLS_BG_THRESH_LO", 0.1)),
+                hard_bg_ratio=float(roi_cfg.get("HARD_BG_RATIO", 0.8)),
+                rng=(self.make_rng("roi_sampling")
+                     if self.has_rng("roi_sampling") else None),
             )
             batch["roi_targets"] = targets
             batch["rois"] = targets.rois
@@ -500,6 +516,10 @@ class VoxelRCNN(PVRCNN):
                 reg_fg_thresh=float(roi_cfg.get("REG_FG_THRESH", 0.55)),
                 cls_fg_thresh=float(roi_cfg.get("CLS_FG_THRESH", 0.75)),
                 cls_bg_thresh=float(roi_cfg.get("CLS_BG_THRESH", 0.25)),
+                cls_bg_thresh_lo=float(roi_cfg.get("CLS_BG_THRESH_LO", 0.1)),
+                hard_bg_ratio=float(roi_cfg.get("HARD_BG_RATIO", 0.8)),
+                rng=(self.make_rng("roi_sampling")
+                     if self.has_rng("roi_sampling") else None),
             )
             batch["roi_targets"] = targets
             batch["rois"] = targets.rois

@@ -5,10 +5,13 @@ RoIHeadTemplate target/loss plumbing (roi_head_template.py:11-261): match
 first-stage proposals to GT by rotated 3D IoU, pick a fixed fg/bg mix, emit
 IoU-derived soft classification labels and canonical-frame regression targets.
 
-Deviation by design: the reference subsamples fg/bg *randomly* per batch; here
-selection is deterministic (top-IoU foregrounds, then hardest backgrounds) so
-the step stays a pure function of (state, batch).  The fg/bg ratio and
-thresholds match.
+Sampling: with an `rng` key the fg/bg subsample is random like the
+reference's proposal_target_layer (uniform among foregrounds; backgrounds
+tiered hard/easy by HARD_BG_RATIO with random draws inside each tier —
+sample_bg_inds role), threaded as the flax rng collection "roi_sampling" so
+the step stays a pure function of (state, batch, key).  Without a key the
+selection is deterministic (top-IoU foregrounds, then hardest backgrounds) —
+the fallback used by eval and by callers that pass no rngs.
 """
 from __future__ import annotations
 
@@ -66,10 +69,19 @@ def assign_roi_targets(
     reg_fg_thresh: float = 0.55,
     cls_fg_thresh: float = 0.75,
     cls_bg_thresh: float = 0.25,
+    cls_bg_thresh_lo: float = 0.1,
+    hard_bg_ratio: float = 0.8,
+    rng=None,
 ) -> RoITargets:
     fg_cap = int(roi_per_image * fg_ratio)
+    bg_cap = roi_per_image - fg_cap
+    hard_cap = int(bg_cap * hard_bg_ratio)
+    if rng is not None:
+        keys = jax.random.split(rng, rois.shape[0])
+    else:
+        keys = jnp.zeros((rois.shape[0], 2), jnp.uint32)
 
-    def per_sample(roi, score, label, valid, gt):
+    def per_sample(roi, score, label, valid, gt, key):
         gt_valid = gt[:, -1] > 0
         iou = boxes_iou3d(roi[:, :7], gt[:, :7], xp=jnp)
         iou = jnp.where(gt_valid[None, :] & valid[:, None], iou, 0.0)
@@ -80,16 +92,34 @@ def assign_roi_targets(
         gt_idx = iou.argmax(axis=1)
 
         is_fg = (max_iou >= reg_fg_thresh) & valid
-        # deterministic selection: fg by IoU desc, then bg by score desc
-        fg_key = jnp.where(is_fg, max_iou, -1.0)
+        is_bg = ~is_fg & valid
+        if rng is not None:
+            # reference proposal_target_layer: uniform subsample of fg;
+            # bg tiered hard (iou >= cls_bg_thresh_lo) / easy with
+            # HARD_BG_RATIO of the bg slots going to the hard tier (random
+            # within each tier); unfilled hard slots fall through to easy
+            u = jax.random.uniform(key, max_iou.shape)
+            fg_key = jnp.where(is_fg, u, -1.0)
+            hard = is_bg & (max_iou >= cls_bg_thresh_lo)
+            easy = is_bg & ~hard
+            # priorities: hard in (2, 3) for its quota, then easy in (1, 2),
+            # then hard overflow in (0, 1) as filler
+            hard_rank_u = jnp.where(hard, u, -1.0)
+            hard_order = jnp.argsort(-hard_rank_u)
+            hard_pos = jnp.argsort(hard_order)  # rank of each roi among hard
+            in_quota = hard & (hard_pos < hard_cap)
+            bg_key = jnp.where(in_quota, 2.0 + u,
+                               jnp.where(easy, 1.0 + u,
+                                         jnp.where(hard, u, -1.0)))
+        else:
+            # deterministic fallback: fg by IoU desc, then bg by score desc
+            fg_key = jnp.where(is_fg, max_iou, -1.0)
+            bg_key = jnp.where(is_bg, score, -1.0)
         fg_rank = jnp.argsort(-fg_key)
-        bg_key = jnp.where(~is_fg & valid, score, -1.0)
         bg_rank = jnp.argsort(-bg_key)
-        sel = jnp.concatenate(
-            [fg_rank[:fg_cap], bg_rank[: roi_per_image - fg_cap]]
-        )
+        sel = jnp.concatenate([fg_rank[:fg_cap], bg_rank[:bg_cap]])
         sel_valid = jnp.concatenate(
-            [fg_key[fg_rank[:fg_cap]] >= 0, bg_key[bg_rank[: roi_per_image - fg_cap]] >= 0]
+            [fg_key[fg_rank[:fg_cap]] >= 0, bg_key[bg_rank[:bg_cap]] >= 0]
         )
 
         sroi = roi[sel]
@@ -108,5 +138,6 @@ def assign_roi_targets(
         return (sroi, sel_valid, score[sel], label[sel], siou, cls, reg, sfg,
                 sgt[:, :7])
 
-    outs = jax.vmap(per_sample)(rois, roi_scores, roi_labels, roi_valid, gt_boxes)
+    outs = jax.vmap(per_sample)(rois, roi_scores, roi_labels, roi_valid,
+                                gt_boxes, keys)
     return RoITargets(*outs)

@@ -372,7 +372,14 @@ def make_train_step(net, model_cfg, class_names, meta, tx, fmap_hw):
     def train_step(state: TrainState, batch: dict, epoch):
         def loss_fn(params):
             variables = {"params": params, "batch_stats": state.batch_stats}
-            out, mut = net.apply(variables, dict(batch), train=True, mutable=["batch_stats"])
+            # per-step keys: RoI fg/bg subsampling + head dropout randomness
+            # (reference train_utils relies on torch's global RNG; here the
+            # key is folded from the step counter so the step stays pure)
+            step_key = jax.random.fold_in(jax.random.PRNGKey(17), state.step)
+            k_roi, k_drop = jax.random.split(step_key)
+            out, mut = net.apply(
+                variables, dict(batch), train=True, mutable=["batch_stats"],
+                rngs={"roi_sampling": k_roi, "dropout": k_drop})
             if "DENSE_HEAD" not in model_cfg:
                 # point-proposal detectors (PointRCNN): no dense-head loss
                 zero = jnp.zeros((len(class_names), 1))
