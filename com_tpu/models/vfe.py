@@ -245,8 +245,8 @@ class DynamicPillarVFE(nn.Module):
       (327k, 64) broadcast vs ~15 ms for XLA's scatter+gather).  Only the
       final canvas write remains a (sorted-hint) XLA segment op.  On non-TPU
       backends the scan op itself falls back to segment ops, so the path
-      runs everywhere; auto-SPMD multi-chip configs should set
-      SORTED_SCAN: False until the kernel has a custom partitioner.
+      runs everywhere; under auto-SPMD the scan ops carry a
+      custom_partitioning rule that shards the batch axis (no all-gather).
     * segment ops over the dense BEV canvas as the segment space (the
       round-1 path, kept as the cross-backend baseline and parity oracle).
     """

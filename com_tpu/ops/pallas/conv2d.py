@@ -162,6 +162,107 @@ def _conv3x3_wgrad_pallas(x, g, interpret=False):
     return dw
 
 
+# --- auto-SPMD partitioning: batch axis shards, weights replicate; wgrad
+# emits per-shard partials + psum.  COM_TPU_PARTITIONED_KERNELS=0 opts out.
+import os  # noqa: E402
+
+from jax.experimental.custom_partitioning import custom_partitioning  # noqa: E402
+
+PARTITIONED = os.environ.get("COM_TPU_PARTITIONED_KERNELS", "1") == "1"
+
+
+def _fwd_local(x, w, backend):
+    if backend == "tpu":
+        return _conv3x3_fwd_pallas(x, w)
+    if backend == "interpret":
+        return _conv3x3_fwd_pallas(x, w, interpret=True)
+    return _conv3x3_ref(x, w)
+
+
+@functools.partial(custom_partitioning, static_argnums=(2,))
+def _conv3x3_fwd_sharded(x, w, backend):
+    return _fwd_local(x, w, backend)
+
+
+def _cv_partition(backend, mesh, arg_shapes, result_shape):
+    arg_shardings = jax.tree_util.tree_map(lambda s: s.sharding, arg_shapes)
+
+    def lower_fn(x, w):
+        return _fwd_local(x, w, backend)
+
+    return mesh, lower_fn, result_shape.sharding, arg_shardings
+
+
+def _cv_infer(backend, mesh, arg_shapes, result_shape):
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    spec = arg_shapes[0].sharding.spec
+    b_axis = spec[0] if len(spec) else None
+    return NamedSharding(mesh, P(b_axis, None, None, None))
+
+
+_conv3x3_fwd_sharded.def_partition(
+    partition=_cv_partition,
+    infer_sharding_from_operands=_cv_infer,
+    sharding_rule="b h w i, k l i o -> b h w o",
+    need_replication_factors=("h", "w", "i", "k", "l", "o"),
+)
+
+
+def _wgrad_local(x, g, backend):
+    if backend == "tpu":
+        return _conv3x3_wgrad_pallas(x, g)
+    if backend == "interpret":
+        return _conv3x3_wgrad_pallas(x, g, interpret=True)
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    h, wd = x.shape[1], x.shape[2]
+    taps = []
+    for dy in range(3):
+        row = []
+        for dxo in range(3):
+            sl = xp[:, dy : dy + h, dxo : dxo + wd, :]
+            row.append(jnp.einsum(
+                "bhwc,bhwd->cd", sl.astype(jnp.float32),
+                g.astype(jnp.float32)))
+        taps.append(jnp.stack(row))
+    return jnp.stack(taps)
+
+
+@functools.partial(custom_partitioning, static_argnums=(2,))
+def _conv3x3_wgrad_sharded(x, g, backend):
+    return _wgrad_local(x, g, backend)
+
+
+def _wg_partition(backend, mesh, arg_shapes, result_shape):
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    spec = arg_shapes[0].sharding.spec
+    b_axis = spec[0] if len(spec) else None
+    arg_shardings = jax.tree_util.tree_map(lambda s: s.sharding, arg_shapes)
+
+    def lower_fn(x, g):
+        dw = _wgrad_local(x, g, backend)
+        if b_axis is not None:
+            dw = jax.lax.psum(dw, b_axis)  # partial sums across batch shards
+        return dw
+
+    return mesh, lower_fn, NamedSharding(mesh, P()), arg_shardings
+
+
+def _wg_infer(backend, mesh, arg_shapes, result_shape):
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    return NamedSharding(mesh, P())
+
+
+_conv3x3_wgrad_sharded.def_partition(
+    partition=_wg_partition,
+    infer_sharding_from_operands=_wg_infer,
+    sharding_rule="b h w i, b h w o -> k l i o",
+    reduction_factors=("b", "h", "w"),
+)
+
+
 def _conv3x3_ref(x, w):
     return jax.lax.conv_general_dilated(
         x, w, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"),
@@ -182,11 +283,9 @@ def conv3x3(x, w, force: str | None = None):
     force="interpret" runs the kernel in interpreter mode (tests).
     """
     backend = _dispatch(force)
-    if backend == "tpu":
-        return _conv3x3_fwd_pallas(x, w)
-    if backend == "interpret":
-        return _conv3x3_fwd_pallas(x, w, interpret=True)
-    return _conv3x3_ref(x, w)
+    if PARTITIONED:
+        return _conv3x3_fwd_sharded(x, w, backend)
+    return _fwd_local(x, w, backend)
 
 
 def _conv3x3_fwd(x, w, force):
@@ -199,26 +298,12 @@ def _conv3x3_bwd(force, res, g):
     # dgrad: correlate the cotangent with the spatially-rotated,
     # in/out-swapped kernel — again a 3x3 stride-1 SAME conv
     w_rot = jnp.flip(jnp.flip(w, 0), 1).swapaxes(2, 3)
-    if backend == "tpu":
-        dx = _conv3x3_fwd_pallas(g, w_rot.astype(g.dtype))
-        dw = _conv3x3_wgrad_pallas(x, g)
-    elif backend == "interpret":
-        dx = _conv3x3_fwd_pallas(g, w_rot.astype(g.dtype), interpret=True)
-        dw = _conv3x3_wgrad_pallas(x, g, interpret=True)
+    if PARTITIONED:
+        dx = _conv3x3_fwd_sharded(g, w_rot.astype(g.dtype), backend)
+        dw = _conv3x3_wgrad_sharded(x, g, backend)
     else:
-        dx = _conv3x3_ref(g, w_rot.astype(g.dtype))
-        xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
-        h, wd = x.shape[1], x.shape[2]
-        taps = []
-        for dy in range(3):
-            row = []
-            for dxo in range(3):
-                sl = xp[:, dy : dy + h, dxo : dxo + wd, :]
-                row.append(jnp.einsum(
-                    "bhwc,bhwd->cd", sl.astype(jnp.float32),
-                    g.astype(jnp.float32)))
-            taps.append(jnp.stack(row))
-        dw = jnp.stack(taps)
+        dx = _fwd_local(g, w_rot.astype(g.dtype), backend)
+        dw = _wgrad_local(x, g, backend)
     return dx.astype(x.dtype), dw.astype(w.dtype)
 
 

@@ -23,13 +23,12 @@ pair it replaces — and the cost is flat in C from 8 to 128 lanes.
 
 The public op is *batched*: vals (B, N, C) with per-sample sorted segment
 ids.  The grid is (B, N/T) and the carry resets at each sample's first tile,
-so samples never mix — which also keeps the semantics correct per shard if a
-future shard_map splits the batch axis.  Under auto-SPMD pjit a pallas_call
-is an opaque custom call XLA replicates rather than partitions; multi-chip
-configs should keep the XLA segment-op path (SORTED_SCAN: False) until the
-kernel is wrapped in a custom partitioner.  Non-TPU backends always fall
-back to `jax.ops.segment_*` (same semantics; the fallback doubles as the
-parity oracle in tests/test_seg_scan.py).
+so samples never mix.  Under auto-SPMD the op carries a
+custom_partitioning rule ("b n c, b n -> b n c", n/c replicated): the batch
+axis shards over the data mesh and each device runs the kernel on its local
+samples — no all-gather (tests/test_seg_scan.py::test_sharded_no_allgather).
+Non-TPU backends fall back to `jax.ops.segment_*` (same semantics; the
+fallback doubles as the parity oracle).
 """
 from __future__ import annotations
 
@@ -168,13 +167,55 @@ def _run_bcast_ref(vals, seg, op):
     return jax.vmap(one)(vals, seg)
 
 
-def _run_bcast_impl(vals, seg, op, force=None):
+def _run_bcast_local(vals, seg, op, force=None):
     backend = force or jax.default_backend()
     if backend == "tpu":
         return _run_bcast_pallas(vals, seg, op)
     if backend == "interpret":
         return _run_bcast_pallas(vals, seg, op, interpret=True)
     return _run_bcast_ref(vals, seg, op)
+
+
+# --- auto-SPMD: shard the batch axis, run the kernel per device shard
+# (custom_partitioning; COM_TPU_PARTITIONED_KERNELS=0 opts out, leaving the
+# direct dispatch XLA treats as a replicated custom call). ---
+import os  # noqa: E402
+
+from jax.experimental.custom_partitioning import custom_partitioning  # noqa: E402
+
+PARTITIONED = os.environ.get("COM_TPU_PARTITIONED_KERNELS", "1") == "1"
+
+
+@functools.partial(custom_partitioning, static_argnums=(2, 3))
+def _run_bcast_part(vals, seg, op, force=None):
+    return _run_bcast_local(vals, seg, op, force)
+
+
+def _run_bcast_impl(vals, seg, op, force=None):
+    if PARTITIONED:
+        return _run_bcast_part(vals, seg, op, force)
+    return _run_bcast_local(vals, seg, op, force)
+
+
+def _rb_partition(op, force, mesh, arg_shapes, result_shape):
+    arg_shardings = jax.tree_util.tree_map(lambda s: s.sharding, arg_shapes)
+
+    def lower_fn(vals, seg):
+        return _run_bcast_local(vals, seg, op, force)
+
+    return mesh, lower_fn, result_shape.sharding, arg_shardings
+
+
+def _rb_infer(op, force, mesh, arg_shapes, result_shape):
+    return arg_shapes[0].sharding
+
+
+_run_bcast_part.def_partition(
+    partition=_rb_partition,
+    infer_sharding_from_operands=_rb_infer,
+    sharding_rule="b n c, b n -> b n c",
+    need_replication_factors=("n", "c"),
+)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))

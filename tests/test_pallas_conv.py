@@ -45,3 +45,32 @@ def test_convbnrelu_pallas_path_matches_xla_path():
     y2 = m2.apply(v1, x, train=False)  # same params through both paths
     np.testing.assert_allclose(np.asarray(y1), np.asarray(y2),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_conv_sharded_grads_match_and_no_allgather():
+    """conv3x3 under a batch-sharded mesh: fwd partitions along data, wgrad
+    emits per-shard partials + psum (replicated dw)."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    devices = jax.devices()
+    if len(devices) < 8:
+        pytest.skip("needs the 8-device virtual mesh")
+    import com_tpu.ops.pallas.conv2d as cv
+    mesh = Mesh(np.asarray(devices[:8]).reshape(8), ("data",))
+    rng = np.random.RandomState(0)
+    cv.PARTITIONED = True
+    x = jnp.asarray(rng.randn(8, 16, 12, 4).astype(np.float32))
+    k = jnp.asarray((rng.randn(3, 3, 4, 4) * 0.1).astype(np.float32))
+    sh = NamedSharding(mesh, P("data"))
+    xs = jax.device_put(x, sh)
+
+    f = jax.jit(lambda x, k: conv3x3(x, k))
+    np.testing.assert_allclose(np.asarray(f(xs, k)), np.asarray(conv3x3(x, k, "cpu")),
+                               rtol=1e-5, atol=1e-5)
+    g = jax.jit(jax.grad(lambda k: (conv3x3(xs, k) ** 2).sum()))
+    g_ref = jax.grad(lambda k: (conv3x3(x, k, "cpu") ** 2).sum())(k)
+    np.testing.assert_allclose(np.asarray(g(k)), np.asarray(g_ref),
+                               rtol=1e-4, atol=1e-4)
+    txt = f.lower(xs, k).compile().as_text()
+    cv.PARTITIONED = False
+    assert "all-gather" not in txt and "all_gather" not in txt

@@ -65,3 +65,28 @@ def test_bf16_max_exact():
     got = run_bcast(v16, seg, "max", "interpret")
     want = run_bcast(v16, seg, "max", "cpu")
     assert jnp.array_equal(got.astype(jnp.float32), want.astype(jnp.float32))
+
+
+def test_sharded_no_allgather():
+    """Batch-sharded run_bcast partitions along the data axis (custom
+    partitioning rule) — per-shard results identical, no all-gather in the
+    compiled module."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    devices = jax.devices()
+    if len(devices) < 8:
+        pytest.skip("needs the 8-device virtual mesh")
+    import com_tpu.ops.pallas.seg_scan as ss
+    mesh = Mesh(np.asarray(devices[:8]).reshape(8), ("data",))
+    rng = np.random.RandomState(0)
+    vals, seg = _mk(rng, 8, 512, 40)
+    ss.PARTITIONED = True
+    sh = NamedSharding(mesh, P("data"))
+    f = jax.jit(lambda v, s: run_bcast(v, s, "max"))
+    out = f(jax.device_put(vals, sh), jax.device_put(seg, sh))
+    ref = run_bcast(vals, seg, "max", "cpu")
+    assert jnp.array_equal(out, ref)
+    txt = f.lower(jax.device_put(vals, sh), jax.device_put(seg, sh)) \
+        .compile().as_text()
+    ss.PARTITIONED = False
+    assert "all-gather" not in txt and "all_gather" not in txt

@@ -1,0 +1,81 @@
+"""On-TPU benchmark: Pallas 3x3 conv kernel vs XLA conv at BEV-backbone
+shapes.  Prints ms + effective TFLOPs per shape for fwd and fwd+bwd."""
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import sys, os
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+
+from com_tpu.ops.pallas.conv2d import conv3x3  # noqa: E402
+
+SHAPES = [
+    (2, 468, 468, 64, 64),     # backbone stage1 / head branches
+    (2, 468, 468, 384, 64),    # head shared conv
+    (2, 234, 234, 128, 128),   # stage2
+    (2, 117, 117, 256, 256),   # stage3
+]
+
+
+def timeit(name, fn, *a, iters=10, flops=0):
+    o = fn(*a)
+    _ = float(jax.tree_util.tree_leaves(o)[0].ravel()[0].astype(jnp.float32))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        o = fn(*a)
+    _ = float(jax.tree_util.tree_leaves(o)[0].ravel()[0].astype(jnp.float32))
+    dt = (time.perf_counter() - t0) / iters
+    print(f"{name:46s} {dt*1e3:8.2f} ms  {flops/dt/1e12:6.1f} TFLOPs",
+          flush=True)
+
+
+def main():
+    rng = np.random.RandomState(0)
+    for b, h, w, cin, cout in SHAPES:
+        x = jnp.asarray((rng.randn(b, h, w, cin) * 0.3).astype(np.float32)
+                        ).astype(jnp.bfloat16)
+        k = jnp.asarray((rng.randn(3, 3, cin, cout) * 0.05).astype(np.float32)
+                        ).astype(jnp.bfloat16)
+        fl = 2 * b * h * w * 9 * cin * cout
+
+        def chain2_pallas(x, k):
+            y = conv3x3(x, k, "tpu")
+            if cin == cout:
+                y = conv3x3(y, k, "tpu")
+            return y
+
+        def chain2_xla(x, k):
+            y = conv3x3(x, k, "cpu")  # lax.conv path
+            if cin == cout:
+                y = conv3x3(y, k, "cpu")
+            return y
+
+        n = 2 if cin == cout else 1
+        tag = f"{h}x{w} {cin}->{cout}"
+        timeit(f"pallas fwd x{n} {tag}", jax.jit(chain2_pallas), x, k,
+               flops=n * fl)
+        timeit(f"xla    fwd x{n} {tag}", jax.jit(chain2_xla), x, k,
+               flops=n * fl)
+
+        gp = jax.jit(jax.grad(
+            lambda k: (chain2_pallas(x, k).astype(jnp.float32) ** 2).mean()))
+        gx = jax.jit(jax.grad(
+            lambda k: (chain2_xla(x, k).astype(jnp.float32) ** 2).mean()))
+        timeit(f"pallas fwd+bwd {tag}", gp, k, flops=3 * n * fl)
+        timeit(f"xla    fwd+bwd {tag}", gx, k, flops=3 * n * fl)
+
+        # parity on device
+        a = jax.jit(lambda x, k: conv3x3(x, k, "tpu"))(x, k)
+        r = jax.jit(lambda x, k: conv3x3(x, k, "cpu"))(x, k)
+        err = float(jax.jit(
+            lambda a, r: jnp.abs(a.astype(jnp.float32) -
+                                 r.astype(jnp.float32)).max())(a, r))
+        print(f"  parity err {tag}: {err:.3e}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
