@@ -275,6 +275,21 @@ def _dispatch(force):
     return backend
 
 
+def _fits_vmem(x, cout):
+    """Conservative VMEM budget check for the row-tile kernel at th=8:
+    3 double-buffered input tiles + W-padded scratch + weights + out tile
+    must stay under ~12 MB.  Oversized windows (e.g. 384ch x 468-wide head
+    convs at bf16 ~= 17 MB) fall back to XLA's conv emitter."""
+    b, h, wd, cin = x.shape
+    it = x.dtype.itemsize
+    th = 8
+    tiles_in = 3 * (th * wd * cin * it) * 2  # double buffered
+    scratch = (th + 2) * (wd + 2) * cin * it
+    out = th * wd * cout * it * 2
+    w_bytes = 9 * cin * cout * it
+    return tiles_in + scratch + out + w_bytes <= 12 * 1024 * 1024
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
 def conv3x3(x, w, force: str | None = None):
     """3x3 stride-1 SAME conv, NHWC x (B,H,W,Cin) @ w (3,3,Cin,Cout).
@@ -283,6 +298,8 @@ def conv3x3(x, w, force: str | None = None):
     force="interpret" runs the kernel in interpreter mode (tests).
     """
     backend = _dispatch(force)
+    if backend == "tpu" and not _fits_vmem(x, w.shape[-1]):
+        backend = "cpu"  # XLA conv fallback for oversized windows
     if PARTITIONED:
         return _conv3x3_fwd_sharded(x, w, backend)
     return _fwd_local(x, w, backend)
@@ -298,6 +315,8 @@ def _conv3x3_bwd(force, res, g):
     # dgrad: correlate the cotangent with the spatially-rotated,
     # in/out-swapped kernel — again a 3x3 stride-1 SAME conv
     w_rot = jnp.flip(jnp.flip(w, 0), 1).swapaxes(2, 3)
+    if backend == "tpu" and not _fits_vmem(x, g.shape[-1]):
+        backend = "cpu"
     if PARTITIONED:
         dx = _conv3x3_fwd_sharded(g, w_rot.astype(g.dtype), backend)
         dw = _conv3x3_wgrad_sharded(x, g, backend)
