@@ -114,3 +114,32 @@ def test_parta2_free_forward():
     assert "point_part_offset" in out
     assert "point_box_preds" in out
     assert "rois" in out
+
+
+def test_centerhead_rpn_hybrid_train_step():
+    """The full train step composes for the CenterHead-RPN + RCNN hybrid:
+    centerpoint dense losses + rcnn refinement losses, finite loss, one
+    optimizer update."""
+    from com_tpu.train.optim import build_optimizer
+    from com_tpu.train.state import TrainState
+    from com_tpu.train.step import make_train_step
+
+    rng = np.random.RandomState(3)
+    net, cfg = build_from_yaml("configs/waymo_models/pv_rcnn_with_centerhead_rpn.yaml")
+    batch = tiny_batch(rng)
+    batch["num_points_in_gt"] = jnp.full(batch["gt_boxes"].shape[:2], 10.0)
+    variables = jax.jit(net.init, static_argnames=("train",))(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        dict(batch), train=True,
+    )
+    tx, _ = build_optimizer(variables["params"], cfg.OPTIMIZATION,
+                            total_steps=100, steps_per_epoch=10)
+    state = TrainState.create_jit(variables, tx, num_head_groups=1)
+    from com_tpu.models.detectors import DatasetMeta
+
+    meta = DatasetMeta(cfg.CLASS_NAMES, PC_RANGE, VOXEL, GRID, 5)
+    step = jax.jit(make_train_step(net, cfg.MODEL, list(cfg.CLASS_NAMES),
+                                   meta, tx, (GRID[1] // 8, GRID[0] // 8)))
+    state, metrics = step(state, batch, 0)
+    assert np.isfinite(float(metrics["loss"]))
+    assert "rcnn_loss_cls" in metrics or float(metrics["loss"]) > 0
