@@ -289,8 +289,8 @@ class PVRCNN(Detector3D):
             batch["roi_targets"] = targets
             batch["rois"] = targets.rois
         else:
-            k = int(self.model_cfg.get("ROI_HEAD", {}).get("NMS_CONFIG", {})
-                    .get("TEST_POST", 128))
+            k = min(int(self.model_cfg.get("ROI_HEAD", {}).get("NMS_CONFIG", {})
+                        .get("TEST_POST", 128)), int(roi_scores.shape[1]))
             import jax
 
             top, idx = jax.lax.top_k(roi_scores, k)

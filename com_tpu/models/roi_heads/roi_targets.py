@@ -58,6 +58,26 @@ def canonical_transform(gt_boxes, rois):
     )
 
 
+def decode_rcnn_boxes(rois, reg):
+    """Inverse of canonical_transform: RCNN deltas + RoIs -> world boxes
+    (roi_head_template.generate_predicted_boxes role for our raw-delta
+    encoding)."""
+    yaw = rois[..., 6]
+    cos, sin = jnp.cos(yaw), jnp.sin(yaw)
+    dx = reg[..., 0] * cos - reg[..., 1] * sin
+    dy = reg[..., 0] * sin + reg[..., 1] * cos
+    return jnp.stack(
+        [rois[..., 0] + dx,
+         rois[..., 1] + dy,
+         rois[..., 2] + reg[..., 2],
+         rois[..., 3] + reg[..., 3],
+         rois[..., 4] + reg[..., 4],
+         rois[..., 5] + reg[..., 5],
+         yaw + reg[..., 6]],
+        axis=-1,
+    )
+
+
 def assign_roi_targets(
     rois,  # (B, P, 7) proposals
     roi_scores,  # (B, P)

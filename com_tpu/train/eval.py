@@ -18,6 +18,9 @@ from ..ops.iou import boxes_iou3d
 
 
 def make_eval_step(net, model_cfg, class_names, meta):
+    if "ROI_HEAD" in model_cfg and model_cfg["ROI_HEAD"].get("NAME") not in (
+            None,):
+        return _make_two_stage_eval_step(net, model_cfg, class_names, meta)
     head_cfg = model_cfg["DENSE_HEAD"]
     if "ANCHOR_GENERATOR_CONFIG" in head_cfg:
         return _make_anchor_eval_step(net, model_cfg, class_names, meta)
@@ -59,6 +62,49 @@ def make_eval_step(net, model_cfg, class_names, meta):
             jnp.concatenate(all_labels, axis=1),
             jnp.concatenate(all_valid, axis=1),
         )
+
+    return eval_step
+
+
+def _make_two_stage_eval_step(net, model_cfg, class_names, meta):
+    """Two-stage inference (detector3d_template post_processing role): the
+    refined RCNN boxes — not the first-stage proposals — are what gets
+    NMS'd and reported.  Heads that already decode (SECONDHead IoU, MPPNet)
+    set batch_box_preds/batch_cls_preds; grid/point-pool heads emit raw
+    rcnn_cls/rcnn_reg which decode against the RoIs via the inverse
+    canonical transform."""
+    from ..models.roi_heads.roi_targets import decode_rcnn_boxes
+    from ..ops.nms import nms_bev
+
+    post = model_cfg.get("POST_PROCESSING", {})
+    nms_cfg = dict(post.get("NMS_CONFIG", {"NMS_THRESH": 0.7}))
+    nms_cfg.update(nms_cfg.get("TEST", {}))
+    score_thresh = float(post.get("SCORE_THRESH", 0.1))
+    post_max = int(nms_cfg.get("NMS_POST_MAXSIZE", 500))
+
+    def eval_step(variables, batch):
+        out = net.apply(variables, dict(batch), train=False)
+        if "batch_box_preds" in out:
+            boxes = out["batch_box_preds"][..., :7]
+            cls = out["batch_cls_preds"]
+            scores = cls[..., 0] if cls.ndim == 3 else cls
+            if not out.get("cls_preds_normalized", False):
+                scores = jax.nn.sigmoid(scores)
+        else:
+            boxes = decode_rcnn_boxes(out["rois"][..., :7], out["rcnn_reg"])
+            scores = jax.nn.sigmoid(out["rcnn_cls"])
+        labels = out.get("roi_labels_sampled", out.get("roi_labels"))
+        if labels is None:
+            labels = jnp.ones(scores.shape, jnp.int32)
+
+        def one(bx, sc, lb):
+            valid = sc > score_thresh
+            sel, sel_valid = nms_bev(
+                bx, sc, valid, float(nms_cfg.get("NMS_THRESH", 0.7)),
+                min(post_max, bx.shape[0]))
+            return bx[sel], sc[sel], lb[sel], sel_valid
+
+        return jax.vmap(one)(boxes, scores, labels.astype(jnp.int32))
 
     return eval_step
 
