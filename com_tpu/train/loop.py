@@ -74,8 +74,10 @@ def train_model(
     mesh=None,
     metric_hook=None,
     batch_keys=None,
+    ckpt_save_time_interval: float = 300.0,
 ):
     accumulated_iter = 0
+    last_timed_save = time.time()
     for epoch in range(start_epoch, num_epochs):
         loader.set_epoch(epoch)
         if getattr(state, "conf_sum", None) is not None:
@@ -98,6 +100,18 @@ def train_model(
                 )
             if metric_hook is not None:
                 metric_hook(epoch, it, metrics)
+            # rolling in-epoch save (reference latest_model every
+            # ckpt_save_time_interval seconds, train_utils.py:198-206)
+            if (ckpt_dir is not None and ckpt_save_time_interval > 0
+                    and time.time() - last_timed_save > ckpt_save_time_interval):
+                from ..utils.checkpoint import save_latest
+
+                save_latest(fast_device_get(state), ckpt_dir, epoch,
+                            accumulated_iter)
+                last_timed_save = time.time()
+                if logger:
+                    logger.info("saved latest_model at epoch %d it %d",
+                                epoch, it)
 
         # epoch-end device->host curriculum feedback (one small transfer)
         if getattr(state, "conf_sum", None) is not None:

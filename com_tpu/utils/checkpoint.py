@@ -48,6 +48,24 @@ def save_checkpoint(state, ckpt_dir, epoch: int, it: int,
     return path
 
 
+def save_latest(state, ckpt_dir, epoch: int, it: int,
+                sampler_state: dict | None = None):
+    """In-epoch time-based save (train_utils.py:198-206 latest_model role):
+    one rolling "latest_model" directory overwritten in place, cheap enough
+    to write every few minutes without participating in the epoch pruning."""
+    ckpt_dir = Path(ckpt_dir)
+    ckpt_dir.mkdir(parents=True, exist_ok=True)
+    path = ckpt_dir / "latest_model"
+    payload = {
+        "state": state,
+        "meta": {"epoch": epoch, "it": it, "version": "com_tpu-0.1"},
+    }
+    if sampler_state is not None:
+        payload["sampler"] = sampler_state
+    ocp.PyTreeCheckpointer().save(path.absolute(), payload, force=True)
+    return path
+
+
 def load_checkpoint(path, target_state=None):
     ckptr = ocp.PyTreeCheckpointer()
     if target_state is not None:
@@ -61,8 +79,23 @@ def load_checkpoint(path, target_state=None):
 
 
 def resume_latest(ckpt_dir, target_state=None, logger=None):
-    """Try newest first, fall back on corruption (tools/train.py:150-162)."""
-    for epoch, path in reversed(_ckpt_dirs(Path(ckpt_dir))):
+    """Try newest first, fall back on corruption (tools/train.py:150-162).
+    The rolling in-epoch latest_model (if present) outranks the epoch
+    checkpoints when it is newer than all of them."""
+    candidates = _ckpt_dirs(Path(ckpt_dir))
+    latest = Path(ckpt_dir) / "latest_model"
+    if latest.exists():
+        try:
+            payload = load_checkpoint(latest, target_state)
+            ep = int(payload.get("meta", {}).get("epoch", -1))
+            if not candidates or ep >= candidates[-1][0]:
+                if logger:
+                    logger.info("resumed from %s", latest)
+                return payload
+        except Exception as e:
+            if logger:
+                logger.warning("latest_model unreadable (%s); trying epochs", e)
+    for epoch, path in reversed(candidates):
         try:
             payload = load_checkpoint(path, target_state)
             if logger:

@@ -59,3 +59,26 @@ def test_resume_skips_corrupted(tmp_path):
     (newest / "garbage").write_text("not a checkpoint")
     payload = resume_latest(tmp_path, host_zeros_like(jax.device_get(state)))
     assert payload is not None and int(payload["meta"]["epoch"]) == 1
+
+
+def test_latest_model_rolls_and_resumes(tmp_path):
+    """In-epoch time-based latest_model (reference train_utils.py:198-206):
+    rolling overwrite, outranks older epoch checkpoints on resume."""
+    import numpy as np
+
+    from com_tpu.utils.checkpoint import (
+        resume_latest,
+        save_checkpoint,
+        save_latest,
+    )
+
+    state = {"w": np.arange(4.0)}
+    save_checkpoint(state, tmp_path, epoch=1, it=10)
+    save_latest({"w": np.arange(4.0) + 5}, tmp_path, epoch=1, it=37)
+    got = resume_latest(tmp_path)
+    assert got["meta"]["it"] == 37  # latest_model newer than epoch 1
+    np.testing.assert_allclose(got["state"]["w"], np.arange(4.0) + 5)
+    # an epoch save AFTER the latest outranks it
+    save_checkpoint({"w": np.arange(4.0) + 9}, tmp_path, epoch=2, it=50)
+    got = resume_latest(tmp_path)
+    assert got["meta"]["it"] == 50
