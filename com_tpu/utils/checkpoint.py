@@ -78,6 +78,73 @@ def load_checkpoint(path, target_state=None):
     return ckptr.restore(Path(path).absolute())
 
 
+def load_params_only(path, state, logger=None):
+    """Initialize params (and batch stats) from a checkpoint, skipping
+    entries whose shape mismatches the current model
+    (detector3d_template.load_params_from_file:330-384 semantics — partial
+    fine-tune loads keep the freshly-initialized value on mismatch)."""
+    payload = ocp.PyTreeCheckpointer().restore(Path(path).absolute())
+    src = payload.get("state", payload)
+
+    def merge(dst_tree, src_tree, name):
+        flat_dst = dict(_flatten(dst_tree))
+        flat_src = dict(_flatten(src_tree)) if src_tree is not None else {}
+        loaded = skipped = 0
+        out = {}
+        for k, v in flat_dst.items():
+            s = flat_src.get(k)
+            if s is not None and np.shape(s) == np.shape(v):
+                out[k] = np.asarray(s, dtype=np.asarray(v).dtype)
+                loaded += 1
+            else:
+                out[k] = v
+                if s is not None:
+                    skipped += 1
+        if logger:
+            logger.info("pretrained %s: loaded %d tensors, skipped %d "
+                        "shape mismatches", name, loaded, skipped)
+        return _unflatten(out)
+
+    new_params = merge(_get(state, "params"), _get(src, "params"), "params")
+    state = _set(state, "params", new_params)
+    bs_dst = _get(state, "batch_stats")
+    bs_src = _get(src, "batch_stats")
+    if bs_dst is not None and bs_src is not None:
+        state = _set(state, "batch_stats", merge(bs_dst, bs_src, "batch_stats"))
+    return state
+
+
+def _get(obj, name):
+    if isinstance(obj, dict):
+        return obj.get(name)
+    return getattr(obj, name, None)
+
+
+def _set(obj, name, value):
+    if isinstance(obj, dict):
+        return {**obj, name: value}
+    return obj._replace(**{name: value}) if hasattr(obj, "_replace") else (
+        obj.replace(**{name: value}))
+
+
+def _flatten(tree, prefix=()):
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            yield from _flatten(v, prefix + (k,))
+    else:
+        yield prefix, tree
+
+
+def _unflatten(flat):
+    out = {}
+    for path, v in flat.items():
+        d = out
+        for k in path[:-1]:
+            d = d.setdefault(k, {})
+        d[path[-1]] = v
+    return out
+
+
 def resume_latest(ckpt_dir, target_state=None, logger=None):
     """Try newest first, fall back on corruption (tools/train.py:150-162).
     The rolling in-epoch latest_model (if present) outranks the epoch

@@ -82,3 +82,29 @@ def test_latest_model_rolls_and_resumes(tmp_path):
     save_checkpoint({"w": np.arange(4.0) + 9}, tmp_path, epoch=2, it=50)
     got = resume_latest(tmp_path)
     assert got["meta"]["it"] == 50
+
+
+def test_load_params_only_skips_mismatches(tmp_path):
+    """--pretrained_model semantics: matching tensors load, shape
+    mismatches keep the fresh init (load_params_from_file:330-384)."""
+    import numpy as np
+
+    from com_tpu.utils.checkpoint import load_params_only, save_checkpoint
+
+    src_state = {
+        "params": {"a": np.ones((3, 3)), "b": {"w": np.full((2,), 7.0)}},
+        "batch_stats": {"m": np.full((4,), 2.0)},
+    }
+    save_checkpoint(src_state, tmp_path, epoch=1, it=0)
+
+    dst = {
+        "params": {"a": np.zeros((3, 3)),           # match -> loaded
+                   "b": {"w": np.zeros((5,))},       # mismatch -> kept
+                   "c": np.zeros((2, 2))},           # absent -> kept
+        "batch_stats": {"m": np.zeros((4,))},
+    }
+    out = load_params_only(tmp_path / "checkpoint_epoch_1", dst)
+    np.testing.assert_allclose(out["params"]["a"], 1.0)
+    np.testing.assert_allclose(out["params"]["b"]["w"], 0.0)
+    np.testing.assert_allclose(out["params"]["c"], 0.0)
+    np.testing.assert_allclose(out["batch_stats"]["m"], 2.0)

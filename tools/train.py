@@ -21,10 +21,17 @@ def parse_config():
     parser.add_argument("--workers", type=int, default=4)
     parser.add_argument("--extra_tag", type=str, default="default")
     parser.add_argument("--ckpt", type=str, default=None)
+    parser.add_argument("--pretrained_model", type=str, default=None,
+                        help="params-only init from a checkpoint; shape "
+                             "mismatches are skipped (reference "
+                             "load_params_from_file semantics)")
     parser.add_argument("--fix_random_seed", action="store_true")
     parser.add_argument("--seed", type=int, default=666)
     parser.add_argument("--ckpt_save_interval", type=int, default=1)
     parser.add_argument("--max_ckpt_save_num", type=int, default=50)
+    parser.add_argument("--ckpt_save_time_interval", type=int, default=300,
+                        help="rolling latest_model save period (seconds)")
+    parser.add_argument("--logger_iter_interval", type=int, default=50)
     parser.add_argument("--output_dir", type=str, default=None)
     parser.add_argument("--multihost", action="store_true",
                         help="initialize jax.distributed (TPU pod slices / "
@@ -129,6 +136,10 @@ def main():
     from com_tpu.utils.transfer import host_zeros_like
 
     start_epoch = 0
+    if args.pretrained_model:
+        from com_tpu.utils.checkpoint import load_params_only
+
+        state = load_params_only(args.pretrained_model, state, logger=logger)
     resumed = resume_latest(ckpt_dir, host_zeros_like(state), logger=logger)
     if resumed is not None:
         state = resumed["state"]
@@ -146,7 +157,7 @@ def main():
     from com_tpu.utils.metrics import MetricsLogger
 
     mlog = MetricsLogger(out_dir / "metrics")
-    log_every = 50
+    log_every = args.logger_iter_interval
 
     from com_tpu.utils.transfer import fast_device_get
 
@@ -173,6 +184,7 @@ def main():
         step, state, loader, epochs,
         ckpt_dir=ckpt_dir, logger=logger, start_epoch=start_epoch,
         ckpt_save_interval=args.ckpt_save_interval,
+        ckpt_save_time_interval=float(args.ckpt_save_time_interval),
         max_ckpt_save_num=args.max_ckpt_save_num, mesh=mesh, batch_keys=bkeys,
         metric_hook=metric_hook,
     )
