@@ -23,6 +23,15 @@ def parse_config():
     parser.add_argument("--eval_all", action="store_true",
                         help="poll the ckpt dir and evaluate checkpoints as they appear")
     parser.add_argument("--max_waiting_mins", type=int, default=30)
+    parser.add_argument("--ckpt_dir", type=str, default=None,
+                        help="override the checkpoint directory to poll")
+    parser.add_argument("--eval_tag", type=str, default="default")
+    parser.add_argument("--start_epoch", type=int, default=0,
+                        help="skip checkpoints older than this epoch in --eval_all")
+    parser.add_argument("--infer_time", action="store_true",
+                        help="report per-frame inference latency (device-synced)")
+    parser.add_argument("--save_to_file", action="store_true",
+                        help="write detection results to result.pkl")
     parser.add_argument("--output_dir", type=str, default=None)
     parser.add_argument("--set", dest="set_cfgs", default=None, nargs=argparse.REMAINDER)
     args = parser.parse_args()
@@ -62,7 +71,8 @@ def evaluate_ckpt(ckpt_path, cfg, args, logger):
         jax.random.PRNGKey(0), example, train=False
     )
     tx, _ = build_optimizer(variables["params"], cfg.OPTIMIZATION, 1000, 100)
-    num_heads = len(cfg.MODEL.DENSE_HEAD.CLASS_NAMES_EACH_HEAD)
+    dh = cfg.MODEL.get("DENSE_HEAD", {})
+    num_heads = len(dh.get("CLASS_NAMES_EACH_HEAD", [None]))
     template = TrainState.create_jit(variables, tx, num_head_groups=num_heads)
     from com_tpu.utils.transfer import host_zeros_like
 
@@ -72,10 +82,37 @@ def evaluate_ckpt(ckpt_path, cfg, args, logger):
                  "batch_stats": state.batch_stats if hasattr(state, "batch_stats") else state["batch_stats"]}
 
     eval_step = make_eval_step(net, cfg.MODEL, list(cfg.CLASS_NAMES), meta)
+    if args.infer_time:
+        # per-frame latency with a forced device sync per batch
+        # (reference --infer_time + CUDA_LAUNCH_BLOCKING role)
+        import jax.numpy as jnp
+        jit_step = jax.jit(eval_step)
+        first = next(iter(loader))
+        dev = {k: v for k, v in first.items() if isinstance(v, np.ndarray)}
+        out = jit_step(variables, dev)
+        _ = float(jnp.asarray(out[0]).ravel()[0])  # compile + sync
+        lat = []
+        for i, b in enumerate(loader):
+            if i >= 20:
+                break
+            dev = {k: v for k, v in b.items() if isinstance(v, np.ndarray)}
+            t0 = time.time()
+            out = jit_step(variables, dev)
+            _ = float(jnp.asarray(out[0]).ravel()[0])
+            lat.append((time.time() - t0) / len(next(iter(dev.values()))))
+        logger.info("inference latency: %.2f ms/frame (median of %d batches)",
+                    1e3 * float(np.median(lat)), len(lat))
     det_annos, recalls, spe = eval_model(
         eval_step, variables, loader, list(cfg.CLASS_NAMES), logger=logger,
-        recall_thresh_list=tuple(cfg.MODEL.POST_PROCESSING.get("RECALL_THRESH_LIST", [0.3, 0.5, 0.7])),
+        recall_thresh_list=tuple(cfg.MODEL.get("POST_PROCESSING", {}).get("RECALL_THRESH_LIST", [0.3, 0.5, 0.7])),
     )
+    if args.save_to_file:
+        import pickle
+        out_path = Path(args.output_dir or (REPO / "output")) / "result.pkl"
+        out_path.parent.mkdir(parents=True, exist_ok=True)
+        with open(out_path, "wb") as f:
+            pickle.dump(det_annos, f)
+        logger.info("wrote %s (%d frames)", out_path, len(det_annos))
     if hasattr(dataset, "evaluation"):
         result_str, result_dict = dataset.evaluation(det_annos, list(cfg.CLASS_NAMES))
         logger.info("eval result: %s", result_str)
@@ -100,14 +137,15 @@ def main():
         return
 
     # repeat_eval_ckpt: poll ckpt dir, evaluate new checkpoints as they appear
-    ckpt_dir = out_dir / "ckpt"
-    ledger = eval_dir / "eval_list_val.txt"
+    ckpt_dir = Path(args.ckpt_dir) if args.ckpt_dir else out_dir / "ckpt"
+    ledger = eval_dir / f"eval_list_{args.eval_tag}.txt"
     evaluated = set()
     if ledger.exists():
         evaluated = set(ledger.read_text().split())
     waited = 0.0
     while waited < args.max_waiting_mins * 60:
-        todo = [(e, p) for e, p in _ckpt_dirs(ckpt_dir) if str(e) not in evaluated]
+        todo = [(e, p) for e, p in _ckpt_dirs(ckpt_dir)
+                if str(e) not in evaluated and e >= args.start_epoch]
         if not todo:
             time.sleep(30)
             waited += 30
