@@ -91,13 +91,20 @@ def multi_class_nms_bev(
 ):
     """Per-class rotated NMS (model_nms_utils.multi_classes_nms role): run the
     suppression independently within each class, then keep the top
-    post_max_size by score overall."""
+    post_max_size by score overall.
+
+    One shared score sort + one (K, K) rotated-IoU matrix; per-class
+    suppression masks cross-class pairs out of the shared matrix instead of
+    re-sorting and re-clipping polygons num_classes times."""
     k = boxes.shape[0]
-    kept = jnp.zeros((k,), bool)
-    for c in range(1, num_classes + 1):
-        cls_valid = valid & (labels == c)
-        sel, sel_valid = nms_bev(boxes, scores, cls_valid, thresh, k)
-        kept = kept.at[sel].max(sel_valid)
+    neg_inf = jnp.asarray(-jnp.inf, scores.dtype)
+    order = jnp.argsort(jnp.where(valid, scores, neg_inf))[::-1]
+    sb, sv, sl = boxes[order], valid[order], labels[order]
+    iou = boxes_iou_bev(sb, sb, xp=jnp)
+    same_cls = sl[:, None] == sl[None, :]
+    iou_cls = jnp.where(same_cls, iou, 0.0)
+    keep_sorted = _greedy_suppress(iou_cls, thresh, sv & (sl > 0))
+    kept = jnp.zeros((k,), bool).at[order].set(keep_sorted)
     keep_scores = jnp.where(kept, scores, -jnp.inf)
     top, idx = jax.lax.top_k(keep_scores, post_max_size)
     return idx, jnp.isfinite(top)
