@@ -126,6 +126,8 @@ def bench_end_to_end(step, state, cfg, meta, n_batches=10):
              "REMOVE_OUTSIDE_BOXES": True},
             {"NAME": "shuffle_points",
              "SHUFFLE_ENABLED": {"train": True, "test": False}},
+            {"NAME": "sort_points_by_bev_pillar",
+             "VOXEL_SIZE": [0.32, 0.32, 6.0]},
         ],
     })
     ds, loader = build_dataloader(ds_cfg, list(cfg.CLASS_NAMES), BATCH,

@@ -281,9 +281,19 @@ class DynamicPillarVFE(nn.Module):
         )  # (B, N) in [0, hw]
         valid = pmask & in_range
         seg = jnp.where(valid, flat, hw)  # per-sample ids; trash run = hw
-        # one batched row-sort (last axis) carrying the point columns along
+        # one batched row-sort (last axis) carrying the point columns along.
+        # When the host pipeline pre-sorted (sort_points_by_bev_pillar
+        # processor), the in-graph check skips the device sort via lax.cond
+        # — the cond still compiles both branches but executes only the
+        # cheap one at runtime.
         cols = [points[..., k] for k in range(f)] + [valid.astype(pt)]
-        sorted_ = jax.lax.sort([seg] + cols, num_keys=1)
+        is_sorted = jnp.all(seg[:, 1:] >= seg[:, :-1])
+        sorted_ = jax.lax.cond(
+            is_sorted,
+            lambda ops: tuple(ops),
+            lambda ops: tuple(jax.lax.sort(list(ops), num_keys=1)),
+            tuple([seg] + cols),
+        )
         sseg = sorted_[0]
         spts = jnp.stack(sorted_[1 : 1 + f], axis=-1)  # (B, N, F)
         smask = sorted_[-1] > 0.5

@@ -89,3 +89,36 @@ def test_sorted_path_grads_flow():
     norms = [float(jnp.abs(x).sum()) for x in jax.tree_util.tree_leaves(g)]
     assert all(np.isfinite(norms))
     assert sum(norms) > 0
+
+
+def test_host_presort_processor_matches_device_sort():
+    """sort_points_by_bev_pillar pre-sorts on the host with the same pillar
+    formula; the VFE output is identical whether the device sort runs or the
+    in-graph sortedness check short-circuits it."""
+    from com_tpu.data.processor import DataProcessor
+
+    rng = np.random.RandomState(7)
+    batch = _batch(rng, b=1, n=2000)
+    ref, _ = _run({"SORTED_SCAN": True}, batch)
+
+    proc = DataProcessor(
+        [{"NAME": "sort_points_by_bev_pillar", "VOXEL_SIZE": list(VOXEL)}],
+        np.asarray(PC_RANGE, np.float32), training=True,
+        num_point_features=5,
+    )
+    pts = np.asarray(batch["points"][0])
+    mask = np.asarray(batch["points_mask"][0])
+    # host sort must run over valid points with padding at the end, matching
+    # the collate layout: emulate by sorting the full padded row set
+    dd = proc.sort_points_by_bev_pillar(
+        {"points": pts[mask]}, {"VOXEL_SIZE": list(VOXEL)})
+    sorted_pts = np.concatenate([dd["points"], pts[~mask]], axis=0)
+    sorted_mask = np.concatenate(
+        [np.ones(mask.sum(), bool), np.zeros((~mask).sum(), bool)])
+    batch2 = {
+        "points": jnp.asarray(sorted_pts[None]),
+        "points_mask": jnp.asarray(sorted_mask[None]),
+    }
+    got, _ = _run({"SORTED_SCAN": True}, batch2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
