@@ -270,8 +270,33 @@ def _conv3x3_ref(x, w):
     ).astype(x.dtype)
 
 
+_PROBE_OK = None
+
+
+def _pallas_conv_supported():
+    """One-time tiny-compile probe: if Mosaic rejects the kernel on this
+    backend/toolchain, every conv3x3 silently falls back to XLA's conv
+    instead of failing the whole train-step compile.  Runs eagerly even when
+    first touched inside an outer trace (ensure_compile_time_eval)."""
+    global _PROBE_OK
+    if _PROBE_OK is None:
+        try:
+            with jax.ensure_compile_time_eval():
+                x = jnp.zeros((1, 16, 8, 8), jnp.bfloat16)
+                w = jnp.zeros((3, 3, 8, 8), jnp.bfloat16)
+                _conv3x3_fwd_pallas(x, w).block_until_ready()
+                _conv3x3_wgrad_pallas(x, jnp.zeros((1, 16, 8, 8), jnp.bfloat16)
+                                      ).block_until_ready()
+            _PROBE_OK = True
+        except Exception:  # Mosaic compile failure -> XLA fallback
+            _PROBE_OK = False
+    return _PROBE_OK
+
+
 def _dispatch(force):
     backend = force or jax.default_backend()
+    if backend == "tpu" and not _pallas_conv_supported():
+        return "cpu"  # XLA conv path
     return backend
 
 
