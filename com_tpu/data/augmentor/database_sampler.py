@@ -450,7 +450,15 @@ class DataBaseSamplerCOM2(DataBaseSamplerCOM1):
 
     def _sample_for_class(self, class_name, sample_group):
         if self.stop is not None and self.epoch >= int(self.stop):
-            return []  # GT-Aug fade-out
+            # GT-Aug fade-out — but the reference only returns AFTER the
+            # group draw (database_sampler_curriculum.py:255-260), so consume
+            # the same np.random.choice call to keep SEED_PARITY streams
+            # aligned
+            prob = self.group_probability(class_name, sample_group)
+            if prob is not None:
+                self.rng.choice(len(prob), int(sample_group["sample_num"]),
+                                p=prob, replace=True)
+            return []
         return super()._sample_for_class(class_name, sample_group)
 
 
