@@ -104,10 +104,14 @@ def generate_trajectory_with_idx(cur_boxes, proposals_list, iou_thresh=0.5):
         ok = maxov >= iou_thresh
         matched = jnp.take_along_axis(
             proposals_list[:, i], best[..., None], axis=1)
-        traj.append(jnp.where(ok[..., None], matched, cur_boxes))
+        stored = jnp.where(ok[..., None], matched, cur_boxes)
+        traj.append(stored)
         valid.append(ok)
         idxs.append(jnp.where(ok, best.astype(jnp.int32), -1))
-        prev = jnp.where(ok[..., None], matched, pred)
+        # the reference predicts frame i+1 from trajectory_rois[:, i] — the
+        # STORED row (frame-0 box when unmatched), not the propagated
+        # prediction (mppnet_head.py:644-646)
+        prev = stored
     return (jnp.stack(traj, 1), jnp.stack(valid, 1).astype(jnp.float32),
             jnp.stack(idxs, 1))
 
@@ -137,10 +141,13 @@ def generate_trajectory(cur_boxes, proposals_list, iou_thresh=0.5):
         matched = jnp.take_along_axis(
             proposals_list[:, i], best[..., None], axis=1
         )
-        # unmatched rois keep the frame-0 box (reference init semantics)
-        traj.append(jnp.where(ok[..., None], matched, cur_boxes))
+        # unmatched rois keep the frame-0 box (reference init semantics);
+        # the next frame's prediction starts from this stored row, not the
+        # accumulated prediction (mppnet_head.py:644-646)
+        stored = jnp.where(ok[..., None], matched, cur_boxes)
+        traj.append(stored)
         valid.append(ok)
-        prev = jnp.where(ok[..., None], matched, pred)
+        prev = stored
     return jnp.stack(traj, axis=1), jnp.stack(valid, axis=1).astype(jnp.float32)
 
 
