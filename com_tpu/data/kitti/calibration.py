@@ -40,10 +40,14 @@ class Calibration:
         return (pts_hom @ self.V2C.T) @ self.R0.T
 
     def rect_to_img(self, pts_rect):
+        # reference quirks preserved exactly (calibration_kitti.py:75-84):
+        # the projective divide uses the input rect z (not the homogeneous
+        # w), and the returned depth removes P2's z-offset
         pts_hom = np.concatenate([pts_rect, np.ones((len(pts_rect), 1))], axis=1)
         pts_2d = pts_hom @ self.P2.T
-        depth = pts_2d[:, 2]
-        return pts_2d[:, :2] / np.clip(depth[:, None], 1e-6, None), depth
+        pts_img = pts_2d[:, :2] / pts_hom[:, 2:3]
+        depth = pts_2d[:, 2] - self.P2.T[3, 2]
+        return pts_img, depth
 
 
 def boxes3d_kitti_camera_to_lidar(boxes_camera, calib: Calibration):
