@@ -1,0 +1,86 @@
+"""World-augmentation golden parity vs the reference augmentor_utils
+(executed from /root/reference with SharedArray stubbed; its common_utils
+and box_utils load for real on torch-cpu).  Same RNG stream -> identical
+flipped/rotated/scaled points and boxes."""
+import importlib.util
+import sys
+import types
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from com_tpu.data.augmentor import transforms
+
+REF_DIR = Path("/root/reference/pcdet")
+
+
+def _load_reference_augmentor():
+    sa = types.ModuleType("SharedArray")
+    saved = {"SharedArray": sys.modules.get("SharedArray")}
+    sys.modules["SharedArray"] = sa
+
+    stubs = {}
+    for name in ["pcdet", "pcdet.utils", "pcdet.ops",
+                 "pcdet.ops.roiaware_pool3d",
+                 "pcdet.ops.roiaware_pool3d.roiaware_pool3d_utils",
+                 "pcdet.datasets", "pcdet.datasets.augmentor"]:
+        mod = types.ModuleType(name)
+        mod.__path__ = []
+        stubs[name] = mod
+    stubs["pcdet.ops.roiaware_pool3d"].roiaware_pool3d_utils = stubs[
+        "pcdet.ops.roiaware_pool3d.roiaware_pool3d_utils"]
+    for k in stubs:
+        saved.setdefault(k, sys.modules.get(k))
+    sys.modules.update(stubs)
+    try:
+        for sub in ["common_utils", "box_utils"]:
+            spec = importlib.util.spec_from_file_location(
+                f"pcdet.utils.{sub}", str(REF_DIR / "utils" / f"{sub}.py"))
+            mod = importlib.util.module_from_spec(spec)
+            sys.modules[spec.name] = mod
+            spec.loader.exec_module(mod)
+            setattr(stubs["pcdet.utils"], sub, mod)
+        spec = importlib.util.spec_from_file_location(
+            "pcdet.datasets.augmentor.augmentor_utils",
+            str(REF_DIR / "datasets/augmentor/augmentor_utils.py"))
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules[spec.name] = mod
+        spec.loader.exec_module(mod)
+        return mod
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                sys.modules.pop(k, None)
+            else:
+                sys.modules[k] = v
+
+
+def _scene(rng, n=200, m=12):
+    pts = rng.uniform(-30, 30, (n, 4)).astype(np.float32)
+    boxes = np.zeros((m, 9), np.float32)
+    boxes[:, :3] = rng.uniform(-25, 25, (m, 3))
+    boxes[:, 3:6] = rng.uniform(1.5, 5, (m, 3))
+    boxes[:, 6] = rng.uniform(-np.pi, np.pi, m)
+    boxes[:, 7:9] = rng.uniform(-1, 1, (m, 2))
+    return boxes, pts
+
+
+@pytest.mark.skipif(not REF_DIR.exists(), reason="reference unavailable")
+@pytest.mark.parametrize("op,ours,args", [
+    ("random_flip_along_x", transforms.random_flip_along_x, ()),
+    ("random_flip_along_y", transforms.random_flip_along_y, ()),
+    ("global_rotation", transforms.global_rotation, ([-0.785, 0.785],)),
+    ("global_scaling", transforms.global_scaling, ([0.9, 1.1],)),
+])
+def test_world_aug_matches_reference(op, ours, args):
+    au = _load_reference_augmentor()
+    rng = np.random.RandomState(3)
+    boxes, pts = _scene(rng)
+
+    np.random.seed(42)
+    ref_boxes, ref_pts = getattr(au, op)(boxes.copy(), pts.copy(), *args)
+    np.random.seed(42)
+    got_boxes, got_pts = ours(boxes.copy(), pts.copy(), *args)
+    np.testing.assert_allclose(got_pts, ref_pts, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(got_boxes, ref_boxes, rtol=1e-4, atol=1e-4)
