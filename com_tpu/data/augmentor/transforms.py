@@ -66,11 +66,26 @@ def global_translation(gt_boxes, points, noise_std, rng=np.random):
     return gt_boxes, points
 
 
+
+def _points_in_box_margin(points, box, margin=0.1):
+    """Reference get_points_in_box semantics (augmentor_utils.py:449-466):
+    axis-rotated membership with a 0.1 m XY MARGIN and inclusive z —
+    the local augs depend on this exact boundary behavior."""
+    import math
+
+    shift = points[:, :3] - box[:3]
+    cosa, sina = math.cos(-box[6]), math.sin(-box[6])
+    lx = shift[:, 0] * cosa - shift[:, 1] * sina
+    ly = shift[:, 0] * sina + shift[:, 1] * cosa
+    return ((np.abs(shift[:, 2]) <= box[5] / 2.0)
+            & (np.abs(lx) <= box[3] / 2.0 + margin)
+            & (np.abs(ly) <= box[4] / 2.0 + margin))
+
 def random_local_rotation(gt_boxes, points, rot_range, rng=np.random):
     """Rotate each object (its box + points) around its own center."""
     for i in range(len(gt_boxes)):
         angle = rng.uniform(rot_range[0], rot_range[1])
-        mask = points_in_rbbox(points[:, :3], gt_boxes[i : i + 1, :7])[:, 0]
+        mask = _points_in_box_margin(points, gt_boxes[i])
         ctr = gt_boxes[i, :3].copy()
         pts = points[mask]
         pts[:, :3] -= ctr
@@ -84,7 +99,7 @@ def random_local_rotation(gt_boxes, points, rot_range, rng=np.random):
 def random_local_scaling(gt_boxes, points, scale_range, rng=np.random):
     for i in range(len(gt_boxes)):
         scale = rng.uniform(scale_range[0], scale_range[1])
-        mask = points_in_rbbox(points[:, :3], gt_boxes[i : i + 1, :7])[:, 0]
+        mask = _points_in_box_margin(points, gt_boxes[i])
         ctr = gt_boxes[i, :3].copy()
         points[mask, :3] = (points[mask, :3] - ctr) * scale + ctr
         gt_boxes[i, 3:6] *= scale
@@ -101,25 +116,25 @@ def random_local_frustum_dropout(gt_boxes, points, intensity_range, direction,
         if direction == "top":
             thresh = z + dz / 2 - intensity * dz
             keep = ~(
-                points_in_rbbox(points[:, :3], gt_boxes[i : i + 1, :7])[:, 0]
+                _points_in_box_margin(points, gt_boxes[i])
                 & (points[:, 2] >= thresh)
             )
         elif direction == "bottom":
             thresh = z - dz / 2 + intensity * dz
             keep = ~(
-                points_in_rbbox(points[:, :3], gt_boxes[i : i + 1, :7])[:, 0]
+                _points_in_box_margin(points, gt_boxes[i])
                 & (points[:, 2] <= thresh)
             )
         elif direction == "left":
             thresh = y + dy / 2 - intensity * dy
             keep = ~(
-                points_in_rbbox(points[:, :3], gt_boxes[i : i + 1, :7])[:, 0]
+                _points_in_box_margin(points, gt_boxes[i])
                 & (points[:, 1] >= thresh)
             )
         else:  # right
             thresh = y - dy / 2 + intensity * dy
             keep = ~(
-                points_in_rbbox(points[:, :3], gt_boxes[i : i + 1, :7])[:, 0]
+                _points_in_box_margin(points, gt_boxes[i])
                 & (points[:, 1] <= thresh)
             )
         points = points[keep]
@@ -130,7 +145,7 @@ def random_local_sparsify(gt_boxes, points, drop_prob, rng=np.random):
     """Randomly drop a fraction of each object's points
     (local pyramid sparsify role)."""
     for i in range(len(gt_boxes)):
-        inside = points_in_rbbox(points[:, :3], gt_boxes[i : i + 1, :7])[:, 0]
+        inside = _points_in_box_margin(points, gt_boxes[i])
         idx = np.where(inside)[0]
         if len(idx) == 0:
             continue
@@ -143,7 +158,7 @@ def random_local_sparsify(gt_boxes, points, drop_prob, rng=np.random):
 
 def random_local_translation(gt_boxes, points, offset_range, axes, rng=np.random):
     for i in range(len(gt_boxes)):
-        mask = points_in_rbbox(points[:, :3], gt_boxes[i : i + 1, :7])[:, 0]
+        mask = _points_in_box_margin(points, gt_boxes[i])
         for ax in axes:
             d = rng.uniform(offset_range[0], offset_range[1])
             j = {"x": 0, "y": 1, "z": 2}[ax]

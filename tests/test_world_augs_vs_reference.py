@@ -84,3 +84,29 @@ def test_world_aug_matches_reference(op, ours, args):
     got_boxes, got_pts = ours(boxes.copy(), pts.copy(), *args)
     np.testing.assert_allclose(got_pts, ref_pts, rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(got_boxes, ref_boxes, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.skipif(not REF_DIR.exists(), reason="reference unavailable")
+@pytest.mark.parametrize("op,ours,args", [
+    ("local_rotation", transforms.random_local_rotation, ([-0.157, 0.157],)),
+    ("local_scaling", transforms.random_local_scaling, ([0.95, 1.05],)),
+])
+def test_local_aug_matches_reference(op, ours, args):
+    au = _load_reference_augmentor()
+    rng = np.random.RandomState(5)
+    boxes, pts = _scene(rng, n=400, m=6)
+    boxes = boxes[:, :7].copy()  # reference local ops index box cols directly
+    # put some points inside each box
+    for i in range(len(boxes)):
+        k = 10
+        local = (rng.rand(k, 3) - 0.5) * 0.8 * boxes[i, 3:6]
+        inside = np.concatenate([boxes[i, :3] + local,
+                                 rng.rand(k, 1)], axis=1).astype(np.float32)
+        pts = np.concatenate([pts, inside], axis=0)
+
+    np.random.seed(7)
+    ref_boxes, ref_pts = getattr(au, op)(boxes.copy(), pts.copy(), *args)
+    np.random.seed(7)
+    got_boxes, got_pts = ours(boxes.copy(), pts.copy(), *args)
+    np.testing.assert_allclose(got_boxes, ref_boxes, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(got_pts, ref_pts, rtol=1e-4, atol=1e-4)
