@@ -126,6 +126,18 @@ class DataAugmentor:
 
         return fn
 
+    def random_world_frustum_dropout(self, config=None, **_):
+        def fn(data_dict):
+            gt, pts = transforms.random_world_frustum_dropout(
+                data_dict["gt_boxes"], data_dict["points"],
+                config["INTENSITY_RANGE"], config.get("DIRECTION", ["top"]),
+                rng=self.rng,
+            )
+            data_dict["gt_boxes"], data_dict["points"] = gt, pts
+            return data_dict
+
+        return fn
+
     def random_local_frustum_dropout(self, config=None, **_):
         def fn(data_dict):
             for direction in config.get("DIRECTION", ["top", "bottom", "left", "right"]):

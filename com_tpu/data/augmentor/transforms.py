@@ -141,6 +141,28 @@ def random_local_frustum_dropout(gt_boxes, points, intensity_range, direction,
     return gt_boxes, points
 
 
+def random_world_frustum_dropout(gt_boxes, points, intensity_range,
+                                 directions, rng=np.random):
+    """Scene-level frustum dropout (augmentor_utils.py:219-286
+    global_frustum_dropout_{top,bottom,left,right}): slice off a random
+    fraction of the scene's z or y extent, dropping points AND boxes."""
+    for d in directions:
+        intensity = rng.uniform(intensity_range[0], intensity_range[1])
+        axis = 2 if d in ("top", "bottom") else 1
+        lo, hi = points[:, axis].min(), points[:, axis].max()
+        if d in ("top", "left"):
+            thr = hi - intensity * (hi - lo)
+            keep_p = points[:, axis] < thr
+            keep_b = gt_boxes[:, axis] < thr
+        else:
+            thr = lo + intensity * (hi - lo)
+            keep_p = points[:, axis] > thr
+            keep_b = gt_boxes[:, axis] > thr
+        points = points[keep_p]
+        gt_boxes = gt_boxes[keep_b]
+    return gt_boxes, points
+
+
 def random_local_sparsify(gt_boxes, points, drop_prob, rng=np.random):
     """Randomly drop a fraction of each object's points
     (local pyramid sparsify role)."""

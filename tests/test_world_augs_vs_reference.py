@@ -110,3 +110,19 @@ def test_local_aug_matches_reference(op, ours, args):
     got_boxes, got_pts = ours(boxes.copy(), pts.copy(), *args)
     np.testing.assert_allclose(got_boxes, ref_boxes, rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(got_pts, ref_pts, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.skipif(not REF_DIR.exists(), reason="reference unavailable")
+@pytest.mark.parametrize("d", ["top", "bottom", "left", "right"])
+def test_world_frustum_dropout_matches_reference(d):
+    au = _load_reference_augmentor()
+    rng = np.random.RandomState(11)
+    boxes, pts = _scene(rng)
+    np.random.seed(3)
+    ref_boxes, ref_pts = getattr(au, f"global_frustum_dropout_{d}")(
+        boxes.copy(), pts.copy(), [0.0, 0.2])
+    np.random.seed(3)
+    got_boxes, got_pts = transforms.random_world_frustum_dropout(
+        boxes.copy(), pts.copy(), [0.0, 0.2], [d])
+    np.testing.assert_allclose(got_pts, ref_pts, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(got_boxes, ref_boxes, rtol=1e-5, atol=1e-5)
