@@ -163,13 +163,17 @@ class DataAugmentor:
         return fn
 
     def random_local_pyramid_aug(self, config=None, **_):
-        """SE-SSD pyramid augs (data_augmentor.py:253-272): per-face dropout
-        (frustum/sparsify already cover drop paths) + cross-object face swap."""
+        """SE-SSD pyramid augs (reference data_augmentor.py:253-272):
+        per-face pyramid dropout -> sparsify (pyramids chained through like
+        the reference) -> cross-object face swap (same semantics, own RNG
+        structure)."""
         def fn(data_dict):
-            gt, pts = transforms.random_local_sparsify(
-                data_dict["gt_boxes"], data_dict["points"],
-                config.get("SPARSIFY_PROB", 0.05), rng=self.rng,
-            )
+            gt, pts = data_dict["gt_boxes"], data_dict["points"]
+            gt, pts, pyramids = transforms.local_pyramid_dropout(
+                gt, pts, config.get("DROP_PROB", 0.25), rng=self.rng)
+            gt, pts, pyramids = transforms.local_pyramid_sparsify(
+                gt, pts, config.get("SPARSIFY_PROB", 0.05),
+                config.get("SPARSIFY_MAX_NUM", 50), pyramids, rng=self.rng)
             gt, pts = transforms.local_pyramid_swap(
                 gt, pts, config.get("SWAP_PROB", 0.1),
                 config.get("SWAP_MAX_NUM", 50), rng=self.rng,

@@ -250,6 +250,93 @@ def _in_pyramid(points, pyr, eps=1e-6):
             & (np.abs(b - 0.5) <= (1 - g) / 2 + eps))
 
 
+
+def _ref_face_pyramids(gt_boxes):
+    """(N, 7+) boxes -> (N, 6, 5, 3) face pyramids in the REFERENCE's corner
+    template and face order (box_utils.boxes_to_corners_3d template +
+    get_pyramids pyramid_orders, augmentor_utils.py:469-492) — the face
+    index must line up with the reference's randint draws for seed parity."""
+    n = len(gt_boxes)
+    if n == 0:
+        return np.zeros((0, 6, 5, 3), np.float32)
+    template = np.array([
+        [1, 1, -1], [1, -1, -1], [-1, -1, -1], [-1, 1, -1],
+        [1, 1, 1], [1, -1, 1], [-1, -1, 1], [-1, 1, 1],
+    ], np.float64) / 2
+    local = gt_boxes[:, None, 3:6] * template[None]
+    c, s = np.cos(gt_boxes[:, 6]), np.sin(gt_boxes[:, 6])
+    rx = local[..., 0] * c[:, None] - local[..., 1] * s[:, None]
+    ry = local[..., 0] * s[:, None] + local[..., 1] * c[:, None]
+    corners = np.stack([rx, ry, local[..., 2]], -1) + gt_boxes[:, None, :3]
+    orders = [(0, 1, 5, 4), (4, 5, 6, 7), (7, 6, 2, 3),
+              (3, 2, 1, 0), (1, 2, 6, 5), (0, 4, 7, 3)]
+    pyr = np.zeros((n, 6, 5, 3))
+    for fi, f in enumerate(orders):
+        pyr[:, fi, 0] = gt_boxes[:, :3]
+        for k in range(4):
+            pyr[:, fi, k + 1] = corners[:, f[k]]
+    return pyr
+
+
+def _points_in_hulls(points, pyramids):
+    """(M, 3+) x (K, 5, 3) -> (M, K) bool via convex-hull membership
+    (box_utils.in_hull / points_in_pyramids_mask role)."""
+    from scipy.spatial import Delaunay
+
+    flags = np.zeros((len(points), len(pyramids)), bool)
+    for i, pyr in enumerate(pyramids):
+        try:
+            hull = Delaunay(pyr)
+            flags[:, i] = hull.find_simplex(points[:, :3]) >= 0
+        except Exception:
+            pass
+    return flags
+
+
+def local_pyramid_dropout(gt_boxes, points, dropout_prob, pyramids=None,
+                          rng=np.random):
+    """Drop every point of one random face pyramid per selected box
+    (augmentor_utils.local_pyramid_dropout:510-524, identical RNG order);
+    dropped boxes' pyramids leave the chain."""
+    if pyramids is None:
+        pyramids = _ref_face_pyramids(gt_boxes)
+    face = rng.randint(0, 6, (len(pyramids),))
+    chosen = rng.uniform(0, 1, (len(pyramids),)) <= dropout_prob
+    if chosen.sum() != 0:
+        sel = pyramids[chosen, face[chosen]]
+        hit = _points_in_hulls(points, sel)
+        points = points[~hit.any(-1)]
+    pyramids = pyramids[~chosen]
+    return gt_boxes, points, pyramids
+
+
+def local_pyramid_sparsify(gt_boxes, points, prob, max_num_pts,
+                           pyramids=None, rng=np.random):
+    """Subsample one random face pyramid per selected box down to
+    max_num_pts points (augmentor_utils.local_pyramid_sparsify:526-557,
+    identical RNG order)."""
+    if pyramids is None:
+        pyramids = _ref_face_pyramids(gt_boxes)
+    if len(pyramids) > 0:
+        face = rng.randint(0, 6, (len(pyramids),))
+        chosen = rng.uniform(0, 1, (len(pyramids),)) <= prob
+        sel = pyramids[chosen, face[chosen]]
+        hit = _points_in_hulls(points, sel)
+        dense = hit.sum(0) > max_num_pts
+        if dense.sum() > 0:
+            masks = hit[:, dense]
+            remain = points[~masks.any(-1)]
+            kept = []
+            for i in range(masks.shape[1]):
+                grp = points[masks[:, i]]
+                pick = rng.choice(grp.shape[0], size=max_num_pts,
+                                  replace=False)
+                kept.append(grp[pick])
+            points = np.concatenate([remain] + kept, axis=0)
+        pyramids = pyramids[~chosen]
+    return gt_boxes, points, pyramids
+
+
 def local_pyramid_swap(gt_boxes, points, prob, max_num_pts, rng=np.random):
     """Swap the points of one face pyramid between two objects, remapping
     through the pyramid-relative coordinates and rescaling intensities

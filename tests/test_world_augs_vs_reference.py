@@ -126,3 +126,34 @@ def test_world_frustum_dropout_matches_reference(d):
         boxes.copy(), pts.copy(), [0.0, 0.2], [d])
     np.testing.assert_allclose(got_pts, ref_pts, rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(got_boxes, ref_boxes, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.skipif(not REF_DIR.exists(), reason="reference unavailable")
+@pytest.mark.parametrize("op,args", [
+    ("local_pyramid_dropout", (0.4,)),
+    ("local_pyramid_sparsify", (0.5, 8)),
+])
+def test_pyramid_aug_matches_reference(op, args):
+    au = _load_reference_augmentor()
+    rng = np.random.RandomState(9)
+    boxes, pts = _scene(rng, n=100, m=5)
+    boxes = boxes[:, :7].copy()
+    for i in range(len(boxes)):
+        k = 60
+        local = (rng.rand(k, 3) - 0.5) * 0.9 * boxes[i, 3:6]
+        inside = np.concatenate([boxes[i, :3] + local,
+                                 rng.rand(k, 1)], axis=1).astype(np.float32)
+        # rotate object-local offsets into the box frame
+        c, s = np.cos(boxes[i, 6]), np.sin(boxes[i, 6])
+        dx, dy = local[:, 0].copy(), local[:, 1].copy()
+        inside[:, 0] = boxes[i, 0] + dx * c - dy * s
+        inside[:, 1] = boxes[i, 1] + dx * s + dy * c
+        pts = np.concatenate([pts, inside], axis=0)
+
+    np.random.seed(13)
+    ref_out = getattr(au, op)(boxes.copy(), pts.copy(), *args)
+    np.random.seed(13)
+    got_out = getattr(transforms, op)(boxes.copy(), pts.copy(), *args)
+    # (gt_boxes, points, pyramids)
+    np.testing.assert_allclose(got_out[1], ref_out[1], rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(got_out[2], ref_out[2], rtol=1e-4, atol=1e-4)
