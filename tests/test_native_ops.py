@@ -59,11 +59,19 @@ def test_native_voxelize_speedup():
     pts = rng.uniform(-74, 74, (160000, 5)).astype(np.float32)
     pts[:, 2] = rng.uniform(-1, 3, 160000)
     args = ([-74.88, -74.88, -2, 74.88, 74.88, 4], [0.32, 0.32, 6.0], 20, 150000)
-    t0 = time.perf_counter()
-    voxelize_native(pts, *args)
-    t_native = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    voxelize_points(pts, *args)
-    t_numpy = time.perf_counter() - t0
+    # best-of-3 on each side: wall-clock comparisons flake when another
+    # process (e.g. a concurrent compile) steals the core mid-measurement
+    t_native = min(
+        _timed(lambda: voxelize_native(pts, *args)) for _ in range(3))
+    t_numpy = min(
+        _timed(lambda: voxelize_points(pts, *args)) for _ in range(3))
     # native should win comfortably on the waymo-scale input
     assert t_native < t_numpy, (t_native, t_numpy)
+
+
+def _timed(fn):
+    import time
+
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
