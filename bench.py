@@ -1,21 +1,32 @@
 """Benchmark: CenterPoint-Pillar COM training throughput on one TPU chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 
 Scale matches the reference's COM training recipe (BASELINE.md): batch 2
 scenes/step, Waymo range +-74.88 m, 0.32 m pillars -> 468x468 BEV grid,
 ~160k points/scene, 500 GT slots, full train step (fwd + bwd + optimizer +
-curriculum statistics).
+curriculum statistics).  Points follow a Waymo-like distribution (ground
+plane, 1/r density falloff, clustered objects — __graft_entry__), not
+uniform noise, so pillar occupancy / sort runs / NMS load are realistic.
 
 vs_baseline: the reference repo publishes no numbers (BASELINE.json
-"published": {}).  Baseline = 7.0 scenes/sec/chip, our documented estimate of
+"published": {}).  Baseline = 7.0 scenes/sec/chip, our documented ESTIMATE of
 the reference's A100 throughput for CenterPoint-Pillar Waymo training at
-batch 2/GPU (~0.28 s/iter typical for OpenPCDet-era PyTorch pipelines).
+batch 2/GPU (~0.28 s/iter typical for OpenPCDet-era PyTorch pipelines); the
+JSON labels it estimated.  All numbers are measured on a v5e chip (the
+BASELINE.md 2x target was written for v5p — see "hardware" field).
+
+Tunnel defense: the TPU is reached through the axon relay, which can wedge
+for hours (round-2 bench died rc=1 on it).  main() probes backend health in
+a bounded subprocess BEFORE importing jax here; on a dead tunnel it emits a
+diagnostic JSON line and exits 0 so the driver records a diagnosis, not a
+stack trace.
 """
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -30,12 +41,58 @@ NUM_POINTS = 163840
 WARMUP = 3
 ITERS = 20
 
+_PROBE = (
+    "import jax, jax.numpy as jnp; "
+    "d = jax.devices(); "
+    "v = float(jax.jit(lambda x: x * 2)(jnp.ones((8, 8)))[0, 0]); "
+    "print('PROBE_OK', len(d), d[0].platform, v)"
+)
+
+
+def probe_tpu(timeout_s: float = 55.0):
+    """Run a tiny jit in a fresh subprocess with the ambient (axon) env.
+
+    Returns (ok, detail).  A wedged tunnel blocks at backend init, which a
+    subprocess timeout converts into a clean failure instead of hanging the
+    bench forever (the round-2 failure mode).
+    """
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", _PROBE],
+            capture_output=True, text=True, timeout=timeout_s, cwd=REPO,
+        )
+    except subprocess.TimeoutExpired:
+        return False, f"probe timed out after {timeout_s:.0f}s (tunnel wedged?)"
+    out = (proc.stdout or "") + (proc.stderr or "")
+    if proc.returncode == 0 and "PROBE_OK" in proc.stdout:
+        return True, proc.stdout.strip().splitlines()[-1]
+    return False, f"probe rc={proc.returncode}: {out.strip()[-300:]}"
+
 
 def main():
+    ok, detail = probe_tpu()
+    if not ok:
+        # one retry — transient relay hiccups recover on a fresh connect
+        time.sleep(5)
+        ok, detail = probe_tpu()
+    if not ok:
+        print(json.dumps({
+            "metric": "waymo_centerpoint_com_train_scenes_per_sec_per_chip",
+            "value": None,
+            "unit": "scenes/sec/chip",
+            "vs_baseline": None,
+            "error": "tpu_unavailable",
+            "detail": detail,
+        }))
+        return 0
+    run_bench()
+    return 0
+
+
+def run_bench():
     import jax
 
     import __graft_entry__ as ge
-    from com_tpu.parallel.mesh import make_mesh, replicate_state, shard_batch
     from com_tpu.train.optim import build_optimizer
     from com_tpu.train.state import TrainState
     from com_tpu.train.step import make_train_step
@@ -81,9 +138,9 @@ def main():
     # host->device bandwidth (~3 MB/s measured) is an environment artifact,
     # not a framework property — on locally-attached TPUs the 6.5 MB/batch
     # point transfer is sub-millisecond.
-    end_to_end = None
+    end_to_end = host_pipeline = None
     try:
-        end_to_end = bench_end_to_end(step, state, cfg, meta)
+        end_to_end, host_pipeline = bench_end_to_end(step, state, cfg, meta)
     except Exception as e:  # keep the primary metric robust
         print(f"# end_to_end bench failed: {e}", file=sys.stderr)
 
@@ -92,19 +149,18 @@ def main():
         "value": round(step_only, 3),
         "unit": "scenes/sec/chip",
         "vs_baseline": round(step_only / A100_BASELINE_SCENES_PER_SEC, 3),
+        "baseline_note": "7.0 scenes/sec/chip A100 ESTIMATE (reference publishes no numbers)",
+        "hardware": "v5e (BASELINE.md 2x target assumed v5p)",
     }
     if end_to_end is not None:
         out["end_to_end"] = round(end_to_end, 3)
+    if host_pipeline is not None:
+        out["host_pipeline_scenes_per_sec"] = round(host_pipeline, 3)
     print(json.dumps(out))
 
 
-def bench_end_to_end(step, state, cfg, meta, n_batches=10):
-    """Train-loop throughput including the host input pipeline (synthetic
-    scenes, GT-paste augmentation, collate, transfer), overlapped via
-    PrefetchLoader threads + DevicePrefetcher double buffering."""
+def _make_loader(cfg, n_batches):
     from com_tpu.data.dataset import build_dataloader
-    from com_tpu.train.loop import DevicePrefetcher
-    from com_tpu.train.step import device_batch_keys
     from com_tpu.utils.config import CfgNode
 
     ds_cfg = CfgNode({
@@ -130,8 +186,32 @@ def bench_end_to_end(step, state, cfg, meta, n_batches=10):
              "VOXEL_SIZE": [0.32, 0.32, 6.0]},
         ],
     })
-    ds, loader = build_dataloader(ds_cfg, list(cfg.CLASS_NAMES), BATCH,
-                                  training=True, seed=1, workers=2)
+    return build_dataloader(ds_cfg, list(cfg.CLASS_NAMES), BATCH,
+                            training=True, seed=1, workers=2)
+
+
+def bench_end_to_end(step, state, cfg, meta, n_batches=10):
+    """Train-loop throughput including the host input pipeline (synthetic
+    scenes, GT-paste augmentation, collate, transfer), overlapped via
+    PrefetchLoader threads + DevicePrefetcher double buffering.  Also returns
+    the host pipeline's own scenes/sec (augment+voxelize+collate, no device),
+    so the scoreboard can see which side bounds end-to-end."""
+    from com_tpu.train.loop import DevicePrefetcher
+    from com_tpu.train.step import device_batch_keys
+
+    # host-only pass: how fast can the CPU side produce batches?
+    ds, loader = _make_loader(cfg, n_batches)
+    it = iter(loader)
+    next(it)  # warm worker threads
+    t0 = time.perf_counter()
+    n_host = 0
+    for _ in it:
+        n_host += 1
+        if n_host >= n_batches:
+            break
+    host_rate = BATCH * n_host / (time.perf_counter() - t0)
+
+    ds, loader = _make_loader(cfg, n_batches)
     keys = device_batch_keys(cfg.MODEL)
     prefetcher = DevicePrefetcher(iter(loader), batch_keys=keys)
     it = iter(prefetcher)
@@ -148,8 +228,8 @@ def bench_end_to_end(step, state, cfg, meta, n_batches=10):
             break
     _ = float(metrics["loss"])
     dt = time.perf_counter() - t0
-    return BATCH * n / dt
+    return BATCH * n / dt, host_rate
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())
