@@ -164,9 +164,9 @@ class DataAugmentor:
 
     def random_local_pyramid_aug(self, config=None, **_):
         """SE-SSD pyramid augs (reference data_augmentor.py:253-272):
-        per-face pyramid dropout -> sparsify (pyramids chained through like
-        the reference) -> cross-object face swap (same semantics, own RNG
-        structure)."""
+        per-face pyramid dropout -> sparsify -> cross-object face swap, with
+        the pyramid chain threaded through all three like the reference
+        (dropped/sparsified boxes leave the swap pool)."""
         def fn(data_dict):
             gt, pts = data_dict["gt_boxes"], data_dict["points"]
             gt, pts, pyramids = transforms.local_pyramid_dropout(
@@ -176,7 +176,7 @@ class DataAugmentor:
                 config.get("SPARSIFY_MAX_NUM", 50), pyramids, rng=self.rng)
             gt, pts = transforms.local_pyramid_swap(
                 gt, pts, config.get("SWAP_PROB", 0.1),
-                config.get("SWAP_MAX_NUM", 50), rng=self.rng,
+                config.get("SWAP_MAX_NUM", 50), pyramids, rng=self.rng,
             )
             data_dict["gt_boxes"], data_dict["points"] = gt, pts
             return data_dict

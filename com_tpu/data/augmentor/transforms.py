@@ -337,63 +337,76 @@ def local_pyramid_sparsify(gt_boxes, points, prob, max_num_pts,
     return gt_boxes, points, pyramids
 
 
-def local_pyramid_swap(gt_boxes, points, prob, max_num_pts, rng=np.random):
+def local_pyramid_swap(gt_boxes, points, prob, max_num_pts, pyramids=None,
+                       rng=np.random):
     """Swap the points of one face pyramid between two objects, remapping
     through the pyramid-relative coordinates and rescaling intensities
-    (augmentor_utils.local_pyramid_swap:560-658 semantics)."""
-    n = len(gt_boxes)
-    if n < 2:
+    (augmentor_utils.local_pyramid_swap:560-658, identical RNG order).
+
+    ``pyramids`` is the chain carried through dropout -> sparsify (boxes whose
+    pyramids were consumed there leave the swap pool), exactly like the
+    reference dispatch (data_augmentor.py:253-272).
+    """
+    if pyramids is None:
+        pyramids = _ref_face_pyramids(gt_boxes)
+    P = pyramids.shape[0]
+    swap_mask = rng.uniform(0, 1, (P,)) <= prob
+    if swap_mask.sum() == 0:
         return gt_boxes, points
-    pyramids = _box_pyramids(gt_boxes[:, :7])
-    swap_mask = rng.uniform(0, 1, n) <= prob
-    if not swap_mask.any():
+
+    flat = pyramids.reshape(-1, 5, 3)
+    point_masks = _points_in_hulls(points, flat)
+    counts = point_masks.sum(0).reshape(P, 6)
+    # ignore dropped-out or highly occluded pyramids
+    non_zero = counts > max_num_pts
+    selected = non_zero * swap_mask[:, None]
+    if selected.sum() == 0:
         return gt_boxes, points
 
-    membership = np.zeros((len(points), n, 6), bool)
-    counts = np.zeros((n, 6), np.int64)
-    for i in range(n):
-        for f in range(6):
-            m = _in_pyramid(points, pyramids[i, f])
-            membership[:, i, f] = m
-            counts[i, f] = m.sum()
-    eligible = counts > max_num_pts
+    index_i, index_j = np.nonzero(selected)
+    # one face per swapping box, drawn among its eligible faces (the
+    # reference draws rng.choice even for boxes that end up contributing
+    # nothing — keep that order for seed parity)
+    sel_face = [int(rng.choice(index_j[index_i == i]))
+                if e and (index_i == i).any() else 0
+                for i, e in enumerate(swap_mask)]
+    sel_mask = (selected * np.eye(6, dtype=np.int64)[sel_face]) == 1
+    to_swap = pyramids[sel_mask]
 
-    new_parts = []
-    drop_mask = np.zeros(len(points), bool)
-    for i in np.where(swap_mask)[0]:
-        faces = np.where(eligible[i])[0]
-        if len(faces) == 0:
-            continue
-        f = int(rng.choice(faces))
-        partners = np.where(eligible[:, f] & (np.arange(n) != i))[0]
-        if len(partners) == 0:
-            continue
-        j = int(rng.choice(partners))
-        mi = membership[:, i, f] & ~drop_mask
-        mj = membership[:, j, f] & ~drop_mask
-        if mi.sum() == 0 or mj.sum() == 0:
-            continue
-        pi, pj = points[mi], points[mj]
+    index_i, index_j = np.nonzero(sel_mask)
+    non_zero[sel_mask] = False
+    partner_i = np.array([
+        int(rng.choice(np.where(non_zero[:, j])[0]))
+        if np.where(non_zero[:, j])[0].shape[0] > 0 else index_i[k]
+        for k, j in enumerate(index_j.tolist())])
+    swapped = pyramids[partner_i.astype(np.int32), index_j.astype(np.int32)]
 
-        ai, bi, gi = _pyramid_ratios(pi, pyramids[i, f])
-        aj, bj, gj = _pyramid_ratios(pj, pyramids[j, f])
-        new_i = _points_from_ratios(aj, bj, gj, pyramids[i, f])
-        new_j = _points_from_ratios(ai, bi, gi, pyramids[j, f])
+    swap_pyramids = np.concatenate([to_swap, swapped], axis=0)
+    swap_point_masks = _points_in_hulls(points, swap_pyramids)
+    remain = points[~swap_point_masks.any(-1)]
 
-        def with_feats(xyz, src_feats, dst_feats):
-            out = np.concatenate([xyz, src_feats[:, 3:]], axis=1)
-            if out.shape[1] > 3 and len(dst_feats):
-                lo_s, hi_s = src_feats[:, 3].min(), src_feats[:, 3].max()
-                lo_d, hi_d = dst_feats[:, 3].min(), dst_feats[:, 3].max()
-                ratio = (src_feats[:, 3] - lo_s) / max(hi_s - lo_s, 1e-6)
-                out[:, 3] = ratio * (hi_d - lo_d) + lo_d
-            return out
+    parts = []
+    k = to_swap.shape[0]
+    for i in range(k):
+        pi = points[swap_point_masks[:, i]]
+        pj = points[swap_point_masks[:, i + k]]
+        # intensity (last feature column, like the reference's points[:, -1:])
+        ri = (pi[:, -1:] - pi[:, -1:].min()) / np.clip(
+            pi[:, -1:].max() - pi[:, -1:].min(), 1e-6, 1)
+        rj = (pj[:, -1:] - pj[:, -1:].min()) / np.clip(
+            pj[:, -1:].max() - pj[:, -1:].min(), 1e-6, 1)
+        ai, bi, gi = _pyramid_ratios(pi, to_swap[i])
+        aj, bj, gj = _pyramid_ratios(pj, swapped[i])
+        new_i = _points_from_ratios(aj, bj, gj, to_swap[i])
+        new_j = _points_from_ratios(ai, bi, gi, swapped[i])
+        int_i = rj * (pi[:, -1:].max() - pi[:, -1:].min()) + pi[:, -1:].min()
+        int_j = ri * (pj[:, -1:].max() - pj[:, -1:].min()) + pj[:, -1:].min()
+        # middle feature columns (e.g. Waymo elongation) ride with the source
+        # points; the reference is KITTI-only (xyz+intensity) where this is
+        # a no-op
+        parts.append(np.concatenate([new_i, pj[:, 3:-1], int_i], axis=1))
+        parts.append(np.concatenate([new_j, pi[:, 3:-1], int_j], axis=1))
 
-        new_parts.append(with_feats(new_i, pj, pi))
-        new_parts.append(with_feats(new_j, pi, pj))
-        drop_mask |= mi | mj
-
-    if not new_parts:
-        return gt_boxes, points
-    points = np.concatenate([points[~drop_mask]] + new_parts, axis=0)
+    parts = np.concatenate(parts, axis=0)
+    points = np.concatenate([remain, parts], axis=0)
     return gt_boxes, points.astype(np.float32)

@@ -84,10 +84,19 @@ def _make_two_stage_eval_step(net, model_cfg, class_names, meta):
 
     def eval_step(variables, batch):
         out = net.apply(variables, dict(batch), train=False)
+        cls_labels = None
         if "batch_box_preds" in out:
             boxes = out["batch_box_preds"][..., :7]
             cls = out["batch_cls_preds"]
-            scores = cls[..., 0] if cls.ndim == 3 else cls
+            # max over the class dim like the reference post_processing
+            # (detector3d_template.py); shipped two-stage heads are
+            # single-channel, where max == channel 0
+            if cls.ndim == 3:
+                scores = cls.max(axis=-1)
+                if cls.shape[-1] > 1:
+                    cls_labels = cls.argmax(axis=-1) + 1
+            else:
+                scores = cls
             if not out.get("cls_preds_normalized", False):
                 scores = jax.nn.sigmoid(scores)
         else:
@@ -95,7 +104,8 @@ def _make_two_stage_eval_step(net, model_cfg, class_names, meta):
             scores = jax.nn.sigmoid(out["rcnn_cls"])
         labels = out.get("roi_labels_sampled", out.get("roi_labels"))
         if labels is None:
-            labels = jnp.ones(scores.shape, jnp.int32)
+            labels = cls_labels if cls_labels is not None else jnp.ones(
+                scores.shape, jnp.int32)
 
         def one(bx, sc, lb):
             valid = sc > score_thresh

@@ -365,8 +365,12 @@ def device_batch_keys(model_cfg) -> set:
     return keys
 
 
-def make_train_step(net, model_cfg, class_names, meta, tx, fmap_hw):
-    """Build the jittable train step: (state, batch, epoch) -> (state, metrics)."""
+def make_train_step(net, model_cfg, class_names, meta, tx, fmap_hw, seed=17):
+    """Build the jittable train step: (state, batch, epoch) -> (state, metrics).
+
+    ``seed`` feeds the per-step RoI-sampling/dropout RNG so runs configured
+    with different --seed values draw different streams (the reference gets
+    this implicitly from torch's globally seeded RNG, train.py:86-88)."""
     anchor_path = is_anchor_head(model_cfg)
 
     def train_step(state: TrainState, batch: dict, epoch):
@@ -375,7 +379,7 @@ def make_train_step(net, model_cfg, class_names, meta, tx, fmap_hw):
             # per-step keys: RoI fg/bg subsampling + head dropout randomness
             # (reference train_utils relies on torch's global RNG; here the
             # key is folded from the step counter so the step stays pure)
-            step_key = jax.random.fold_in(jax.random.PRNGKey(17), state.step)
+            step_key = jax.random.fold_in(jax.random.PRNGKey(seed), state.step)
             k_roi, k_drop = jax.random.split(step_key)
             out, mut = net.apply(
                 variables, dict(batch), train=True, mutable=["batch_stats"],

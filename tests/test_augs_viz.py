@@ -34,8 +34,12 @@ def test_pyramid_membership_and_swap():
         inten = rng.rand(30, 1)
         pts.append(np.concatenate([c + bx, yz, inten], 1))
     points = np.concatenate(pts).astype(np.float32)
+    # prob=0.5 with RandomState(1) (uniforms 0.417, 0.720): box 0 swaps,
+    # box 1 stays eligible as its partner -> a genuine cross-object swap
+    # (prob=1.0 would make both boxes pick the +x face and fall back to the
+    # reference's self-swap branch, which duplicates points)
     out_boxes, out_points = local_pyramid_swap(
-        boxes, points.copy(), prob=1.0, max_num_pts=5,
+        boxes, points.copy(), prob=0.5, max_num_pts=5,
         rng=np.random.RandomState(1))
     assert out_points.shape[1] == 4
     assert len(out_points) == len(points)  # swap preserves counts

@@ -157,3 +157,37 @@ def test_pyramid_aug_matches_reference(op, args):
     # (gt_boxes, points, pyramids)
     np.testing.assert_allclose(got_out[1], ref_out[1], rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(got_out[2], ref_out[2], rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.skipif(not REF_DIR.exists(), reason="reference unavailable")
+@pytest.mark.parametrize("seed", [21, 22, 23])
+def test_pyramid_chain_with_swap_matches_reference(seed):
+    """Full SE-SSD chain (dropout -> sparsify -> swap with the pyramids
+    threaded through) vs the reference, same RNG stream."""
+    au = _load_reference_augmentor()
+    rng = np.random.RandomState(seed)
+    boxes, pts = _scene(rng, n=150, m=6)
+    boxes = boxes[:, :7].copy()
+    for i in range(len(boxes)):
+        k = 80
+        local = (rng.rand(k, 3) - 0.5) * 0.9 * boxes[i, 3:6]
+        inside = np.concatenate([boxes[i, :3] + local,
+                                 rng.rand(k, 1)], axis=1).astype(np.float32)
+        c, s = np.cos(boxes[i, 6]), np.sin(boxes[i, 6])
+        dx, dy = local[:, 0].copy(), local[:, 1].copy()
+        inside[:, 0] = boxes[i, 0] + dx * c - dy * s
+        inside[:, 1] = boxes[i, 1] + dx * s + dy * c
+        pts = np.concatenate([pts, inside], axis=0)
+
+    np.random.seed(seed * 7 + 1)
+    rb, rp, rpyr = au.local_pyramid_dropout(boxes.copy(), pts.copy(), 0.3)
+    rb, rp, rpyr = au.local_pyramid_sparsify(rb, rp, 0.3, 30, rpyr)
+    rb, rp = au.local_pyramid_swap(rb, rp, 0.8, 10, rpyr)
+
+    np.random.seed(seed * 7 + 1)
+    gb, gp, gpyr = transforms.local_pyramid_dropout(boxes.copy(), pts.copy(), 0.3)
+    gb, gp, gpyr = transforms.local_pyramid_sparsify(gb, gp, 0.3, 30, gpyr)
+    gb, gp = transforms.local_pyramid_swap(gb, gp, 0.8, 10, gpyr)
+
+    np.testing.assert_allclose(gp, rp, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(gb, rb, rtol=1e-4, atol=1e-4)

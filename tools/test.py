@@ -96,10 +96,15 @@ def evaluate_ckpt(ckpt_path, cfg, args, logger):
             if i >= 20:
                 break
             dev = {k: v for k, v in b.items() if isinstance(v, np.ndarray)}
+            # explicit batch-size source: every collated batch carries
+            # batch-leading 'points'; don't trust dict iteration order
+            bs = dev["points"].shape[0] if "points" in dev else len(
+                next(iter(dev.values())))
             t0 = time.time()
             out = jit_step(variables, dev)
-            _ = float(jnp.asarray(out[0]).ravel()[0])
-            lat.append((time.time() - t0) / len(next(iter(dev.values()))))
+            jax.block_until_ready(out)
+            _ = float(jnp.asarray(out[0]).ravel()[0])  # axon: force full sync
+            lat.append((time.time() - t0) / bs)
         logger.info("inference latency: %.2f ms/frame (median of %d batches)",
                     1e3 * float(np.median(lat)), len(lat))
     det_annos, recalls, spe = eval_model(

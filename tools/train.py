@@ -148,7 +148,8 @@ def main():
             dataset.set_confidence_groups(resumed["sampler"]["confidence_groups"])
 
     fmap_hw = (int(grid[1]), int(grid[0]))
-    step = jax.jit(make_train_step(net, cfg.MODEL, list(cfg.CLASS_NAMES), meta, tx, fmap_hw))
+    step = jax.jit(make_train_step(net, cfg.MODEL, list(cfg.CLASS_NAMES), meta, tx,
+                                   fmap_hw, seed=args.seed))
 
     mesh = make_mesh() if n_devices > 1 else None
     if mesh is not None:
