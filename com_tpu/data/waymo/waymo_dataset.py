@@ -149,19 +149,25 @@ class WaymoDataset(DatasetTemplate):
 
     def evaluation(self, det_annos, class_names, **kwargs):
         """Official Waymo AP/APH when waymo-open-dataset is installed;
-        otherwise the built-in recall summary (eval dispatch role of
+        otherwise the built-in TF-free numpy AP/APH (same Hungarian + 101
+        score-cutoff semantics — waymo_ap.py), so EVAL_METRIC: waymo always
+        produces AP/APH numbers (eval dispatch role of
         waymo_dataset.py:451-502)."""
         try:
             from .waymo_eval import waymo_evaluation  # requires TF
 
             return waymo_evaluation(det_annos, self.infos, class_names)
-        except ImportError as e:
-            msg = (
-                f"official Waymo metrics unavailable ({e}); "
-                "reporting box counts only"
+        except ImportError:
+            from .waymo_ap import compute_waymo_ap
+
+            result_str, result = compute_waymo_ap(
+                det_annos, self.infos, class_names
             )
-            n = sum(len(a["boxes_lidar"]) for a in det_annos)
-            return msg, {"num_detections": n}
+            return (
+                "TF-free numpy AP/APH (waymo-open-dataset unavailable)\n"
+                + result_str,
+                result,
+            )
 
     # ---- data preparation tooling ----
     def create_groundtruth_database(self, out_dir, used_classes=None,
