@@ -69,12 +69,11 @@ class LyftDataset(DatasetTemplate):
         return self.prepare_data(input_dict)
 
     def evaluation(self, det_annos, class_names, **kwargs):
-        try:
-            from lyft_dataset_sdk.lyftdataset import LyftDataset as Lyft  # noqa: F401
-
-            raise NotImplementedError(
-                "official Lyft mAP needs the devkit evaluation loop")
-        except ImportError:
+        """Eval dispatch (reference lyft_dataset.py:134-149): 'lyft' runs the
+        official mAP loop (devkit-free here — IoU is invariant under the
+        lidar->global rigid transform, so lidar-frame eval matches the
+        reference's global-frame numbers), 'kitti' the KITTI-style AP."""
+        if kwargs.get("eval_metric", "lyft") == "kitti":
             from ..kitti.kitti_eval import kitti_evaluation
 
             gt_annos = [{
@@ -84,3 +83,43 @@ class LyftDataset(DatasetTemplate):
                 "difficulty": np.zeros(len(info.get("gt_names", [])), np.int64),
             } for info in self.infos]
             return kitti_evaluation(det_annos, gt_annos, class_names)
+        return self.lyft_eval(
+            det_annos, class_names,
+            iou_thresholds=list(
+                self.dataset_cfg.get("EVAL_LYFT_IOU_LIST", [0.5])))
+
+    def lyft_eval(self, det_annos, class_names, iou_thresholds=(0.5,)):
+        """Official Lyft mAP (reference lyft_dataset.py:145-149 +
+        lyft_mAP_eval), matched by sample token against the info gt."""
+        from .lyft_eval import format_lyft_results, get_average_precisions
+
+        gt_by_token = {
+            info.get("token"): info for info in self.infos
+        }
+        gt_boxes, pred_boxes = [], []
+        for anno in det_annos:
+            token = anno.get("metadata", {}).get("token", anno.get("frame_id"))
+            boxes = np.asarray(anno["boxes_lidar"])
+            for i in range(len(boxes)):
+                pred_boxes.append({
+                    "sample_token": token,
+                    "box": boxes[i, :7].astype(np.float64),
+                    "name": str(np.asarray(anno["name"])[i]),
+                    "score": float(np.asarray(anno["score"])[i]),
+                })
+            info = gt_by_token.get(token)
+            if info is None:
+                continue
+            g = np.asarray(info.get("gt_boxes", np.zeros((0, 7))))
+            names = np.asarray(info.get("gt_names", []))
+            for i in range(len(g)):
+                gt_boxes.append({
+                    "sample_token": token,
+                    "box": g[i, :7].astype(np.float64),
+                    "name": str(names[i]),
+                })
+        aps = get_average_precisions(
+            gt_boxes, pred_boxes, class_names, list(iou_thresholds))
+        return format_lyft_results(
+            aps, class_names, list(iou_thresholds),
+            version=self.dataset_cfg.get("VERSION", "trainval"))
