@@ -51,7 +51,11 @@ class DataAugmentor:
             gt, pts = data_dict["gt_boxes"], data_dict["points"]
             for axis in config["ALONG_AXIS_LIST"]:
                 flip = getattr(transforms, f"random_flip_along_{axis}")
-                gt, pts = flip(gt, pts, rng=self.rng)
+                gt, pts, enable = flip(gt, pts, rng=self.rng,
+                                       return_param=True)
+                # recorded for camera-projection reversal in image-fusion
+                # models (reference stores flip_x/flip_y the same way)
+                data_dict[f"flip_{axis}"] = enable
             data_dict["gt_boxes"], data_dict["points"] = gt, pts
             return data_dict
 
@@ -60,9 +64,11 @@ class DataAugmentor:
     def random_world_rotation(self, config=None, **_):
         def fn(data_dict):
             rot_range = config["WORLD_ROT_ANGLE"]
-            gt, pts = transforms.global_rotation(
-                data_dict["gt_boxes"], data_dict["points"], rot_range, rng=self.rng
+            gt, pts, angle = transforms.global_rotation(
+                data_dict["gt_boxes"], data_dict["points"], rot_range,
+                rng=self.rng, return_param=True,
             )
+            data_dict["noise_rot"] = angle
             data_dict["gt_boxes"], data_dict["points"] = gt, pts
             return data_dict
 
@@ -70,10 +76,11 @@ class DataAugmentor:
 
     def random_world_scaling(self, config=None, **_):
         def fn(data_dict):
-            gt, pts = transforms.global_scaling(
+            gt, pts, scale = transforms.global_scaling(
                 data_dict["gt_boxes"], data_dict["points"],
-                config["WORLD_SCALE_RANGE"], rng=self.rng,
+                config["WORLD_SCALE_RANGE"], rng=self.rng, return_param=True,
             )
+            data_dict["noise_scale"] = scale
             data_dict["gt_boxes"], data_dict["points"] = gt, pts
             return data_dict
 

@@ -58,6 +58,10 @@ class DataBaseSampler:
 
         self.use_shared_memory = bool(sampler_cfg.get("USE_SHARED_MEMORY", False))
         self.limit_whole_scene = sampler_cfg.get("LIMIT_WHOLE_SCENE", False)
+        # KITTI image copy-paste (reference database_sampler.py:22,180-374)
+        self.img_aug_type = sampler_cfg.get("IMG_AUG_TYPE", None)
+        self.img_aug_iou_thresh = float(
+            sampler_cfg.get("IMG_AUG_IOU_THRESH", 0.5))
         self.sample_class_num = {}
         self.sample_groups = {}
         for x in sampler_cfg["SAMPLE_GROUPS"]:
@@ -147,6 +151,163 @@ class DataBaseSampler:
         boxes[:, 2] -= mv_height
         return boxes, mv_height
 
+    # ---- KITTI image copy-paste (IMG_AUG_TYPE: kitti) ----
+
+    def _donor_calib_and_image(self, info):
+        """Donor-frame calibration + camera image for a db object.  Tests can
+        embed them in the info ('calib' dict / 'image' array); real data
+        reads training/calib + training/image_2 by image_idx
+        (reference collect_image_crops_kitti:248-274)."""
+        from ..kitti.calibration import Calibration
+
+        if "calib" in info and isinstance(info["calib"], Calibration):
+            calib = info["calib"]
+        elif "calib" in info:
+            calib = Calibration(info["calib"])
+        else:
+            calib = Calibration(
+                str(self.root_path / "training" / "calib"
+                    / f"{int(info['image_idx']):06d}.txt"))
+        if "image" in info:
+            image = np.asarray(info["image"], np.float32)
+        else:
+            from PIL import Image
+
+            p = self.root_path / "training" / "image_2" \
+                / f"{int(info['image_idx']):06d}.png"
+            image = np.asarray(Image.open(str(p)), np.float32)
+        return calib, image
+
+    def _sample_boxes_2d_kitti(self, data_dict, sampled_boxes):
+        """Road-plane lift + camera projection + 2D-IoU prefilter against the
+        scene gt and the other samples
+        (reference sample_gt_boxes_2d_kitti:296-316)."""
+        from ..kitti.calibration import (
+            boxes3d_kitti_camera_to_imageboxes,
+            boxes3d_lidar_to_kitti_camera,
+            pairwise_iou_2d,
+        )
+
+        mv_height = None
+        if self.sampler_cfg.get("USE_ROAD_PLANE", False) and \
+                "road_plane" in data_dict:
+            sampled_boxes, mv_height = self.put_boxes_on_road_planes(
+                sampled_boxes, data_dict["road_plane"], data_dict.get("calib"))
+        calib = data_dict["calib"]
+        cam = boxes3d_lidar_to_kitti_camera(sampled_boxes[:, :7], calib)
+        boxes2d = boxes3d_kitti_camera_to_imageboxes(
+            cam, calib, data_dict["images"].shape[:2])
+        iou1 = pairwise_iou_2d(boxes2d, data_dict.get(
+            "gt_boxes2d", np.zeros((0, 4))))
+        iou2 = pairwise_iou_2d(boxes2d, boxes2d)
+        np.fill_diagonal(iou2, 0)
+        m1 = iou1.max(axis=1) if iou1.shape[1] else iou2.max(axis=1)
+        keep = ((m1 < self.img_aug_iou_thresh)
+                & (iou2.max(axis=1) < self.img_aug_iou_thresh))
+        return sampled_boxes, boxes2d, mv_height, keep
+
+    def _collect_image_crop_kitti(self, info, data_dict, obj_points,
+                                  box3d, box2d):
+        """Recalibrate donor points/box through the current frame and crop
+        the donor image around its 2D bbox at the refitted size
+        (reference collect_image_crops_kitti:247-292 'point_refine' path).
+        Returns (new_box2d int, crop float [0,1], obj_points, box3d)."""
+        from ...ops.boxes import boxes_to_corners_3d
+        from ..kitti.calibration import (
+            boxes3d_kitti_camera_to_imageboxes,
+            boxes3d_kitti_camera_to_lidar,
+            corners_rect_to_camera,
+        )
+
+        calib = data_dict["calib"]
+        donor_calib, donor_image = self._donor_calib_and_image(info)
+        pts_2d, depth = donor_calib.lidar_to_img(obj_points[:, :3])
+        rect = calib.img_to_rect(pts_2d[:, 0], pts_2d[:, 1], depth)
+        obj_points = obj_points.copy()
+        obj_points[:, :3] = calib.rect_to_lidar(rect)
+        # refit the 3D box the same way
+        corners = np.asarray(boxes_to_corners_3d(box3d[None, :7], xp=np))[0]
+        c2d, cd = donor_calib.lidar_to_img(corners)
+        c_rect = calib.img_to_rect(c2d[:, 0], c2d[:, 1], cd)
+        cam_box = corners_rect_to_camera(c_rect)[None]
+        box3d = np.concatenate([
+            boxes3d_kitti_camera_to_lidar(cam_box, calib)[0],
+            box3d[7:],
+        ])
+        box2d = boxes3d_kitti_camera_to_imageboxes(
+            cam_box, calib, data_dict["images"].shape[:2])[0]
+
+        # donor crop: donor-bbox center, new-box size, clipped; on clip the
+        # new box shrinks to the clipped size (reference :274-287)
+        new_box = box2d.astype(np.int64)
+        donor_bbox = np.asarray(info["bbox"], np.float64)
+        raw_center = donor_bbox.reshape(2, 2).mean(0)
+        new_shape = np.array([new_box[2] - new_box[0], new_box[3] - new_box[1]])
+        raw_box = np.concatenate(
+            [raw_center - new_shape / 2, raw_center + new_shape / 2]
+        ).astype(np.int64)
+        raw_box[0::2] = np.clip(raw_box[0::2], 0, donor_image.shape[1])
+        raw_box[1::2] = np.clip(raw_box[1::2], 0, donor_image.shape[0])
+        if (raw_box[2] - raw_box[0]) != new_shape[0] or \
+                (raw_box[3] - raw_box[1]) != new_shape[1]:
+            new_center = new_box.reshape(2, 2).mean(0)
+            new_shape = np.array(
+                [raw_box[2] - raw_box[0], raw_box[3] - raw_box[1]])
+            new_box = np.concatenate(
+                [new_center - new_shape / 2, new_center + new_shape / 2]
+            ).astype(np.int64)
+        crop = donor_image[raw_box[1]:raw_box[3], raw_box[0]:raw_box[2]] / 255.0
+        return new_box, crop, obj_points, box3d
+
+    def _paste_crops_to_image_kitti(self, data_dict, crops, gt_number,
+                                    point_idxes):
+        """Paste crops far-to-near and rebuild the point keep-mask
+        (reference copy_paste_to_image_kitti:180-245, by_depth +
+        'annotation' use type): a lidar point survives if it projects onto
+        (a) its own pasted object's region, (b) an original-gt region owned
+        by an original gt, or (c) untouched background."""
+        image = data_dict["images"]
+        boxes3d = data_dict["gt_boxes"]
+        boxes2d = np.asarray(data_dict["gt_boxes2d"], np.int64)
+        paste_order = boxes3d[:, 0].argsort()[::-1]  # far first
+
+        paste_mask = -255 * np.ones(image.shape[:2], np.int64)
+        fg_mask = np.zeros(image.shape[:2], np.int64)
+        pts_2d, _ = data_dict["calib"].lidar_to_img(
+            data_dict["points"][:, :3])
+        pts_2d[:, 0] = np.clip(pts_2d[:, 0], 0, image.shape[1] - 1)
+        pts_2d[:, 1] = np.clip(pts_2d[:, 1], 0, image.shape[0] - 1)
+        pts_2d = pts_2d.astype(np.int64)
+        h_img, w_img = image.shape[:2]
+        for o in paste_order:
+            x1, y1, x2, y2 = boxes2d[o]
+            # clip region to the image and the crop to the region (the
+            # reference's center+-shape/2 int truncation can leave them a
+            # pixel apart, which would raise on broadcast)
+            x1c, y1c = max(int(x1), 0), max(int(y1), 0)
+            x2c, y2c = min(int(x2), w_img), min(int(y2), h_img)
+            crop = crops[o][y1c - y1:, x1c - x1:]
+            rh = min(y2c - y1c, crop.shape[0])
+            rw = min(x2c - x1c, crop.shape[1])
+            if rh <= 0 or rw <= 0:
+                continue
+            image[y1c:y1c + rh, x1c:x1c + rw] = crop[:rh, :rw]
+            paste_mask[y1c:y1c + rh, x1c:x1c + rw] = o
+            if o < gt_number:
+                fg_mask[y1c:y1c + rh, x1c:x1c + rw] = 1
+        data_dict["images"] = image
+
+        new_mask = paste_mask[pts_2d[:, 1], pts_2d[:, 0]] == (
+            point_idxes + gt_number)
+        raw_fg = (fg_mask == 1) & (paste_mask >= 0) & (paste_mask < gt_number)
+        raw_bg = (fg_mask == 0) & (paste_mask < 0)
+        raw_mask = (raw_fg[pts_2d[:, 1], pts_2d[:, 0]]
+                    | raw_bg[pts_2d[:, 1], pts_2d[:, 0]])
+        keep = new_mask | raw_mask
+        data_dict["points"] = data_dict["points"][keep]
+        data_dict["points_2d"] = pts_2d[keep]
+        return data_dict, keep
+
     def add_sampled_boxes_to_scene(self, data_dict, sampled_boxes, sampled_infos):
         gt_mask = data_dict["gt_boxes_mask"]
         gt_boxes = data_dict["gt_boxes"][gt_mask]
@@ -156,8 +317,19 @@ class DataBaseSampler:
             if k in data_dict:
                 side[k] = data_dict[k][gt_mask]
 
+        img_aug = (self.img_aug_type == "kitti" and "images" in data_dict
+                   and data_dict.get("calib") is not None)
         mv_height = None
-        if self.sampler_cfg.get("USE_ROAD_PLANE", False) and \
+        if img_aug:
+            sampled_boxes, sampled_boxes2d, mv_height, keep2d = \
+                self._sample_boxes_2d_kitti(data_dict, sampled_boxes)
+            sampled_boxes = sampled_boxes[keep2d]
+            sampled_boxes2d = sampled_boxes2d[keep2d]
+            if mv_height is not None:
+                mv_height = mv_height[keep2d]
+            sampled_infos = [
+                info for info, k in zip(sampled_infos, keep2d) if k]
+        elif self.sampler_cfg.get("USE_ROAD_PLANE", False) and \
                 "road_plane" in data_dict:
             sampled_boxes, mv_height = self.put_boxes_on_road_planes(
                 sampled_boxes, data_dict["road_plane"], data_dict.get("calib"))
@@ -173,12 +345,37 @@ class DataBaseSampler:
                     p = p.copy()
                     p[:, 2] -= mv_height[i]
                     obj_points[i] = p
+        crops, crop_boxes2d, obj_idx_list = [], [], []
+        if img_aug:
+            for i, p in enumerate(obj_points):
+                if p is None:
+                    continue
+                nb, crop, p, b3d = self._collect_image_crop_kitti(
+                    sampled_infos[i], data_dict, p,
+                    sampled_boxes[i], sampled_boxes2d[i])
+                obj_points[i] = p
+                sampled_boxes[i] = b3d[: sampled_boxes.shape[1]]
+                crops.append(crop)
+                crop_boxes2d.append(nb)
+                obj_idx_list.append(np.full(len(p), len(crops) - 1, np.int64))
         obj_points = [p for p in obj_points if p is not None]
         obj_points = (
             np.concatenate(obj_points, axis=0)
             if obj_points
             else np.zeros((0, points.shape[1]), np.float32)
         )
+
+        # existing-gt crops must come from the unpasted image
+        gt_number = len(gt_boxes)
+        gt_crops2d, gt_boxes2d_int = [], np.zeros((0, 4), np.int64)
+        if img_aug:
+            gt_boxes2d_int = np.asarray(
+                data_dict.get("gt_boxes2d", np.zeros((0, 4)))
+            )[gt_mask].astype(np.int64)
+            gt_crops2d = [
+                data_dict["images"][b[1]:b[3], b[0]:b[2]]
+                for b in gt_boxes2d_int
+            ]
 
         big = enlarge_box3d(
             sampled_boxes[:, :7],
@@ -194,6 +391,20 @@ class DataBaseSampler:
         data_dict["gt_names"] = np.concatenate(
             [gt_names, np.array([i["name"] for i in sampled_infos])]
         )
+        if img_aug:
+            # pasted-object points lead the concat; original points get -1
+            # (reference copy_paste_to_image:362-374)
+            obj_idx = (np.concatenate(obj_idx_list)
+                       if obj_idx_list else np.zeros(0, np.int64))
+            point_idxes = -np.ones(len(points), np.int64)
+            point_idxes[: len(obj_idx)] = obj_idx
+            data_dict["gt_boxes2d"] = np.concatenate([
+                gt_boxes2d_int.astype(np.float32),
+                np.asarray(crop_boxes2d, np.float32).reshape(-1, 4),
+            ])
+            data_dict, _ = self._paste_crops_to_image_kitti(
+                data_dict, gt_crops2d + crops, gt_number, point_idxes)
+            data_dict.pop("road_plane", None)
         n_s = len(sampled_infos)
         defaults = {
             "num_points_in_gt": np.array([i["num_points_in_gt"] for i in sampled_infos], np.float32),

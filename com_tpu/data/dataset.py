@@ -128,6 +128,10 @@ class DatasetTemplate:
             for k in GT_SIDE_KEYS:
                 if k in data_dict and len(np.atleast_1d(data_dict[k])) == len(keep):
                     data_dict[k] = np.asarray(data_dict[k])[keep]
+            if "gt_boxes2d" in data_dict and \
+                    len(data_dict["gt_boxes2d"]) == len(keep):
+                data_dict["gt_boxes2d"] = np.asarray(
+                    data_dict["gt_boxes2d"])[keep]
             classes = np.array(
                 [self.class_names.index(n) + 1 for n in data_dict["gt_names"]], np.float32
             )
@@ -203,6 +207,35 @@ class DatasetTemplate:
             out["voxels"] = vox
             out["voxel_coords"] = coords
             out["voxel_num_points"] = vnum
+
+        if "images" in batch:
+            # static pad shape so the device batch never retriggers compile
+            ph, pw = self.dataset_cfg.get("IMAGE_PAD_SHAPE", (384, 1280))
+            ch = batch["images"][0].shape[-1]
+            imgs = np.zeros((bs, int(ph), int(pw), ch), np.float32)
+            for i, im in enumerate(batch["images"]):
+                h = min(im.shape[0], int(ph))
+                w = min(im.shape[1], int(pw))
+                imgs[i, :h, :w] = im[:h, :w]
+            out["images"] = imgs
+            out["image_shape"] = np.stack([
+                np.asarray(im.shape[:2], np.int32) for im in batch["images"]])
+        for k in ("trans_lidar_to_cam", "trans_cam_to_img"):
+            if k in batch:
+                out[k] = np.stack(batch[k]).astype(np.float32)
+        if "gt_boxes2d" in batch and batch["gt_boxes2d"][0] is not None:
+            g2 = np.zeros((bs, self.max_gt, 4), np.float32)
+            for i, g in enumerate(batch["gt_boxes2d"]):
+                n = min(len(g), self.max_gt)
+                g2[i, :n] = np.asarray(g, np.float32)[:n]
+            out["gt_boxes2d"] = g2
+        # world-aug parameters for in-jit camera-projection reversal
+        for k, default in (("noise_rot", 0.0), ("noise_scale", 1.0),
+                           ("flip_x", False), ("flip_y", False)):
+            if k in batch:
+                out[k] = np.asarray(
+                    [v if v is not None else default for v in batch[k]],
+                    bool if isinstance(default, bool) else np.float32)
 
         for k in ("frame_id", "metadata"):
             if k in batch:

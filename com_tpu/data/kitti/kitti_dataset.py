@@ -14,7 +14,11 @@ import numpy as np
 
 from ...utils.registry import DATASETS
 from ..dataset import DatasetTemplate
-from .calibration import Calibration, boxes3d_kitti_camera_to_lidar
+from .calibration import (
+    Calibration,
+    boxes3d_kitti_camera_to_lidar,
+    calib_to_matricies,
+)
 
 _KITTI_CLASS_MAP = {"Car": "Car", "Pedestrian": "Pedestrian", "Cyclist": "Cyclist"}
 
@@ -77,6 +81,25 @@ class KittiDataset(DatasetTemplate):
     def get_calib(self, idx):
         return Calibration(str(self.root_split / "calib" / f"{idx}.txt"))
 
+    def get_image(self, idx):
+        """float32 [0, 1] camera image (kitti_dataset.get_image role)."""
+        from PIL import Image
+
+        p = self.root_split / "image_2" / f"{idx}.png"
+        return np.asarray(Image.open(str(p)), np.float32) / 255.0
+
+    def get_road_plane(self, idx):
+        """Rect-frame road plane (a, b, c, d), normalized, y-up flipped
+        (kitti_dataset.get_road_plane role)."""
+        p = self.root_split / "planes" / f"{idx}.txt"
+        if not p.exists():
+            return None
+        lines = open(p).readlines()
+        plane = np.asarray([float(x) for x in lines[3].split()])
+        if plane[1] > 0:
+            plane = -plane
+        return plane / np.linalg.norm(plane[:3])
+
     def get_label(self, idx):
         return parse_label_file(str(self.root_split / "label_2" / f"{idx}.txt"))
 
@@ -115,6 +138,22 @@ class KittiDataset(DatasetTemplate):
             gt = self.frame_gt_annos(idx)
             data["gt_names"] = gt["name"]
             data["gt_boxes"] = gt["gt_boxes_lidar"][:, :7]
+
+        item_list = self.dataset_cfg.get("GET_ITEM_LIST", ["points"])
+        if set(item_list) - {"points"}:
+            calib = self.get_calib(idx)
+            data["calib"] = calib
+            if "images" in item_list:
+                data["images"] = self.get_image(idx)
+            if "calib_matricies" in item_list:
+                l2c, c2i = calib_to_matricies(calib)
+                data["trans_lidar_to_cam"] = l2c
+                data["trans_cam_to_img"] = c2i
+            if "gt_boxes2d" in item_list and label_path.exists():
+                data["gt_boxes2d"] = self.get_label(idx)["bbox"]
+            plane = self.get_road_plane(idx)
+            if plane is not None:
+                data["road_plane"] = plane
         return self.prepare_data(data)
 
     def evaluation(self, det_annos, class_names, **kwargs):

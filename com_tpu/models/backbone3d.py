@@ -148,13 +148,83 @@ class VoxelResBackBone8x(VoxelBackBone8x):
         return SparseResBlock(ch, name=name)
 
 
+class SemSegEncoder(nn.Module):
+    """Compact conv image encoder for focal multimodal fusion
+    (focal_sparse_conv/SemanticSeg pyramid_ffn.PyramidFeat2D role: the
+    reference runs a COCO-pretrained DeepLabV3-ResNet50 'layer1' and a 1x1
+    channel_reduce to 16ch; the pretrained checkpoint is an external
+    artifact, so this encoder trains jointly instead).  images (B, H, W, 3)
+    -> features (B, H/4, W/4, out_channels)."""
+
+    out_channels: int = 16
+
+    @nn.compact
+    def __call__(self, images, train: bool = True):
+        from .layers import ConvBNReLU
+
+        x = ConvBNReLU(32, kernel=3, stride=2, name="stem0")(images, train)
+        x = ConvBNReLU(64, kernel=3, stride=2, name="stem1")(x, train)
+        x = ConvBNReLU(64, kernel=3, stride=1, name="body")(x, train)
+        return nn.Conv(self.out_channels, (1, 1), use_bias=False,
+                       name="channel_reduce")(x)
+
+
+def voxel_image_features(img_feats, coords, valid, grid_zyx, stride,
+                         voxel_size, pc_range, l2c, c2i, feat_ds, img_hw,
+                         noise_rot, noise_scale, flip_x, flip_y):
+    """Gather per-voxel image features by projecting voxel centers into the
+    camera (focal_sparse_conv.construct_multimodal_features:51-114, done
+    in-jit with the batch's calib matrices instead of a host roundtrip).
+    World augs are reversed scale -> rotation -> flips before projecting.
+
+    Per-sample: img_feats (h, w, C); coords (V, 3) zyx at ``stride``;
+    returns (V, C) bilinear-sampled features, zero out-of-view.
+    """
+    vx, vy, vz = (float(v) for v in voxel_size)
+    x = coords[:, 2].astype(jnp.float32) * (vx * stride) + pc_range[0]
+    y = coords[:, 1].astype(jnp.float32) * (vy * stride) + pc_range[1]
+    z = coords[:, 0].astype(jnp.float32) * (vz * stride) + pc_range[2]
+    # reverse the recorded world augs (reference :85-93)
+    inv_scale = 1.0 / jnp.maximum(noise_scale, 1e-6)
+    x, y, z = x * inv_scale, y * inv_scale, z * inv_scale
+    c, s = jnp.cos(-noise_rot), jnp.sin(-noise_rot)
+    x, y = x * c - y * s, x * s + y * c
+    y = jnp.where(flip_x, -y, y)
+    x = jnp.where(flip_y, -x, x)
+
+    pts = jnp.stack([x, y, z, jnp.ones_like(x)], axis=-1)  # (V, 4)
+    cam = (pts @ l2c.T)[:, :3]
+    img = jnp.concatenate([cam, jnp.ones_like(cam[:, :1])], -1) @ c2i.T
+    depth = img[:, 2]
+    uv = img[:, :2] / jnp.clip(depth[:, None], 1e-6, None)
+    h, w = img_feats.shape[:2]
+    u = uv[:, 0] / feat_ds
+    v = uv[:, 1] / feat_ds
+    inview = ((depth > 0) & (u >= 0) & (u < w - 1) & (v >= 0) & (v < h - 1)
+              & valid)
+    u = jnp.clip(u, 0, w - 1.001)
+    v = jnp.clip(v, 0, h - 1.001)
+    u0, v0 = jnp.floor(u).astype(jnp.int32), jnp.floor(v).astype(jnp.int32)
+    fu, fv = u - u0, v - v0
+    g = (img_feats[v0, u0] * ((1 - fu) * (1 - fv))[:, None]
+         + img_feats[v0, u0 + 1] * (fu * (1 - fv))[:, None]
+         + img_feats[v0 + 1, u0] * ((1 - fu) * fv)[:, None]
+         + img_feats[v0 + 1, u0 + 1] * (fu * fv)[:, None])
+    return g * inview[:, None].astype(g.dtype)
+
+
 class FocalSparseConvBlock(nn.Module):
-    """Focal sparse conv (focal_sparse_conv.py FocalSparseConv, lidar-only):
+    """Focal sparse conv (focal_sparse_conv.py FocalSparseConv):
     a small importance submconv predicts 27 logits per voxel (26 kernel
     offsets + the voxel's own cubic importance); foreground voxels spawn
     capped, deduplicated neighbor voxels; a regular submconv + BN + ReLU then
     runs over the enlarged set.  The own-importance probabilities are stored
-    for the in-gt-box focal supervision (batch["focal_probs"/...])."""
+    for the in-gt-box focal supervision (batch["focal_probs"/...]).
+
+    With ``img_gather`` (the use_img branch, focal_sparse_conv.py:202-220)
+    the importance conv also sees image features gathered at the voxels'
+    camera projections, and the block output gets the image features at the
+    enlarged voxel set summed in (fuse_sum)."""
 
     out_channels: int
     threshold: float = 0.5
@@ -162,15 +232,19 @@ class FocalSparseConvBlock(nn.Module):
     mask_multi: bool = False
 
     @nn.compact
-    def __call__(self, feats, coords, valid, grid_zyx, train: bool):
+    def __call__(self, feats, coords, valid, grid_zyx, train: bool,
+                 img_gather=None):
         cin = feats.shape[-1]
+        imp_in = feats
+        if img_gather is not None:
+            imp_in = jnp.concatenate([img_gather(coords, valid), feats], -1)
         w_imp = self.param(
             "imp_kernel",
             nn.initializers.variance_scaling(1.0, "fan_in", "normal"),
-            (27, cin, 27), jnp.float32)
+            (27, imp_in.shape[-1], 27), jnp.float32)
         imps = jax.vmap(
             lambda f, c, v: sp.submanifold_conv3d(f, c, v, w_imp, grid_zyx)
-        )(feats, coords, valid)
+        )(imp_in, coords, valid)
         out = jax.vmap(
             lambda f, c, v, i: sp.focal_split_and_spawn(
                 f, c, v, i, grid_zyx, self.threshold, self.spawn_cap,
@@ -179,6 +253,12 @@ class FocalSparseConvBlock(nn.Module):
         nfeats, ncoords, nvalid, own = out
         x, c2, v2, g2 = SparseConvBlock(self.out_channels, name="conv")(
             nfeats, ncoords, nvalid, grid_zyx, train)
+        if img_gather is not None:
+            img_out = img_gather(c2, v2)
+            if img_out.shape[-1] != x.shape[-1]:
+                img_out = nn.Dense(x.shape[-1], use_bias=False,
+                                   name="img_proj")(img_out)
+            x = x + img_out * v2[..., None].astype(x.dtype)
         return x, c2, v2, g2, own
 
 
@@ -208,6 +288,43 @@ class VoxelBackBone8xFocal(VoxelBackBone8x):
         multi = {}
         x, coords, valid, grid = self._stage_block(chans[0], "subm0_0")(
             x, coords, valid, grid, train)
+
+        use_img = bool(self.model_cfg.get("USE_IMG", False)) and \
+            "images" in batch
+        if use_img:
+            # multimodal focal conv at stride 1, right after the input subm
+            # stage (spconv_backbone_focal.py conv_focal_multimodal)
+            cimg = int(self.model_cfg.get("IMG_CHANNELS", 16))
+            img_feats = SemSegEncoder(cimg, name="semseg")(
+                batch["images"], train)
+            b = img_feats.shape[0]
+            ones = jnp.ones((b,), jnp.float32)
+            zerosb = jnp.zeros((b,), bool)
+            noise_rot = batch.get("noise_rot", jnp.zeros((b,)))
+            noise_scale = batch.get("noise_scale", ones)
+            flip_x = batch.get("flip_x", zerosb).astype(bool)
+            flip_y = batch.get("flip_y", zerosb).astype(bool)
+            pc_range = jnp.asarray(self.point_cloud_range, jnp.float32)
+
+            def img_gather(c_, v_):
+                return jax.vmap(
+                    lambda fi, ci, vi, l2c, c2i, nr, ns, fx, fy:
+                    voxel_image_features(
+                        fi, ci, vi, grid, 1, self.voxel_size, pc_range,
+                        l2c, c2i, 4.0, batch["images"].shape[1:3],
+                        nr, ns, fx, fy)
+                )(img_feats, c_, v_, batch["trans_lidar_to_cam"],
+                  batch["trans_cam_to_img"], noise_rot, noise_scale,
+                  flip_x, flip_y)
+
+            x, coords, valid, grid, own = FocalSparseConvBlock(
+                chans[0], thr, spawn, name="focal_mm")(
+                x, coords, valid, grid, train, img_gather=img_gather)
+            probs.append(own)
+            pcoords.append(coords[:, : own.shape[1]])
+            pvalid.append(valid[:, : own.shape[1]])
+            strides.append(1)
+
         if 0 in focal_stages:
             x, coords, valid, grid, own = FocalSparseConvBlock(
                 chans[0], thr, spawn, name="focal0")(x, coords, valid, grid,

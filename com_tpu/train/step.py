@@ -362,6 +362,11 @@ def device_batch_keys(model_cfg) -> set:
         keys |= {"voxels", "voxel_coords", "voxel_num_points"}
     if model_cfg.get("PFE") is not None:  # keypoint abstraction reads raw points
         keys |= {"points", "points_mask"}
+    if model_cfg.get("BACKBONE_3D", {}).get("USE_IMG"):
+        # focal multimodal fusion: image features gathered at projected
+        # voxel centers, with the world augs reversed
+        keys |= {"images", "trans_lidar_to_cam", "trans_cam_to_img",
+                 "noise_rot", "noise_scale", "flip_x", "flip_y"}
     return keys
 
 
