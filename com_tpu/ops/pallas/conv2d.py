@@ -35,7 +35,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _pick_th(wd, cin, itemsize):
     # keep 3 double-buffered input tiles + the (TH+2, W+2, C) scratch well
-    # under VMEM: shrink the row tile as the window row grows
+    # under VMEM: shrink the row tile as the window row grows.
+    # COM_TPU_CONV_TH overrides for on-TPU tile sweeps (tools/perf).
+    import os
+
+    forced = os.environ.get("COM_TPU_CONV_TH")
+    if forced:
+        return int(forced)
     row_bytes = (wd + 2) * cin * itemsize
     for th in (32, 16, 8):
         if (th + 2) * row_bytes * 4 <= 6 * 1024 * 1024:
@@ -316,12 +322,7 @@ def _fits_vmem(x, cout):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
-def conv3x3(x, w, force: str | None = None):
-    """3x3 stride-1 SAME conv, NHWC x (B,H,W,Cin) @ w (3,3,Cin,Cout).
-
-    TPU: Pallas row-tile kernel.  Elsewhere (or force="cpu"): lax.conv.
-    force="interpret" runs the kernel in interpreter mode (tests).
-    """
+def _conv3x3_vjp(x, w, force: str | None = None):
     backend = _dispatch(force)
     if backend == "tpu" and not _fits_vmem(x, w.shape[-1]):
         backend = "cpu"  # XLA conv fallback for oversized windows
@@ -330,8 +331,40 @@ def conv3x3(x, w, force: str | None = None):
     return _fwd_local(x, w, backend)
 
 
+def conv3x3(x, w, force: str | None = None):
+    """3x3 stride-1 SAME conv, NHWC x (B,H,W,Cin) @ w (3,3,Cin,Cout).
+
+    TPU: Pallas row-tile kernel.  Elsewhere (or force="cpu"): lax.conv.
+    force="interpret" runs the kernel in interpreter mode (tests).
+
+    Wide-cin windows that overflow the kernel's VMEM budget (e.g. the
+    468-wide 384->64 CenterHead shared conv at bf16) are split over the
+    input-channel axis into <=128-channel slices — conv is linear in cin, so
+    the outputs add (f32 partials) — keeping the biggest conv in the model
+    on the Pallas path instead of XLA's slow large-spatial emitter.  Each
+    slice is the custom-VJP op, so autodiff yields per-slice dgrad/wgrad
+    through the same kernels.
+    """
+    backend = _dispatch(force)
+    cin = x.shape[-1]
+    if (backend not in ("tpu", "interpret") or _fits_vmem(x, w.shape[-1])
+            or cin <= 128):
+        return _conv3x3_vjp(x, w, force)
+    blk = 128
+    probe = jax.ShapeDtypeStruct(x.shape[:-1] + (blk,), x.dtype)
+    while blk > 16 and not _fits_vmem(probe, w.shape[-1]):
+        blk //= 2
+        probe = jax.ShapeDtypeStruct(x.shape[:-1] + (blk,), x.dtype)
+    out = None
+    for j in range(0, cin, blk):
+        y = _conv3x3_vjp(x[..., j : j + blk], w[:, :, j : j + blk, :], force)
+        y = y.astype(jnp.float32)
+        out = y if out is None else out + y
+    return out.astype(x.dtype)
+
+
 def _conv3x3_fwd(x, w, force):
-    return conv3x3(x, w, force), (x, w)
+    return _conv3x3_vjp(x, w, force), (x, w)
 
 
 def _conv3x3_bwd(force, res, g):
@@ -351,4 +384,4 @@ def _conv3x3_bwd(force, res, g):
     return dx.astype(x.dtype), dw.astype(w.dtype)
 
 
-conv3x3.defvjp(_conv3x3_fwd, _conv3x3_bwd)
+_conv3x3_vjp.defvjp(_conv3x3_fwd, _conv3x3_bwd)

@@ -30,6 +30,32 @@ def test_conv3x3_interpret_matches_xla(b, h, w, cin, cout):
     np.testing.assert_allclose(dx1, dx2, rtol=1e-4, atol=1e-3)
 
 
+def test_conv3x3_blocked_cin_matches_xla():
+    """Wide-cin windows that overflow the kernel's VMEM budget split into
+    <=128-channel slices (f32 partial sums) instead of leaving the Pallas
+    path; forward + both grads must still match the lax.conv oracle.  The
+    shape is sized so _fits_vmem rejects the one-shot window (the
+    468-wide 384->64 CenterHead shared-conv regime, scaled down)."""
+    from com_tpu.ops.pallas import conv2d as cv
+
+    assert not cv._fits_vmem(
+        jax.ShapeDtypeStruct((1, 16, 512, 160), jnp.float32), 8)
+    rng = np.random.RandomState(7)
+    x = jnp.asarray((rng.randn(1, 16, 512, 160) * 0.5).astype(np.float32))
+    k = jnp.asarray((rng.randn(3, 3, 160, 8) * 0.05).astype(np.float32))
+    got = conv3x3(x, k, "interpret")
+    want = conv3x3(x, k, "cpu")
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+    dw1 = jax.grad(lambda k: (conv3x3(x, k, "interpret") ** 2).mean())(k)
+    dw2 = jax.grad(lambda k: (conv3x3(x, k, "cpu") ** 2).mean())(k)
+    np.testing.assert_allclose(dw1, dw2, rtol=1e-4, atol=1e-4)
+
+    dx1 = jax.grad(lambda x: (conv3x3(x, k, "interpret") ** 2).mean())(x)
+    dx2 = jax.grad(lambda x: (conv3x3(x, k, "cpu") ** 2).mean())(x)
+    np.testing.assert_allclose(dx1, dx2, rtol=1e-4, atol=1e-4)
+
+
 def test_convbnrelu_pallas_path_matches_xla_path():
     from com_tpu.models.layers import ConvBNReLU
 

@@ -33,6 +33,52 @@ def timeit(name, fn, *a, iters=10, flops=0):
           flush=True)
 
 
+def conv3x3_shiftmm(x, k):
+    """3x3 conv as 9 shifted (BHW, Cin)@(Cin, Cout) matmuls.
+
+    Candidate for when XLA's native conv emitter underperforms: every tap is
+    a plain MXU matmul over the flattened spatial axis, accumulated in f32.
+    """
+    b, h, w, cin = x.shape
+    cout = k.shape[-1]
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    acc = jnp.zeros((b, h, w, cout), jnp.float32)
+    for dy in range(3):
+        for dx in range(3):
+            xs = xp[:, dy : dy + h, dx : dx + w, :]
+            acc = acc + jax.lax.dot_general(
+                xs.reshape(b * h * w, cin), k[dy, dx],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).reshape(b, h, w, cout)
+    return acc.astype(x.dtype)
+
+
+def conv3x3_rowmm(x, k):
+    """3x3 conv as one (BHW, 3*3*Cin)@(3*3*Cin, Cout) matmul per row band.
+
+    im2col across the 3-row window only (gathered via 3 row-shifted views
+    concatenated on channels), so the patch tensor stays 3x the input, and
+    the contraction dim is 9*Cin (wide MXU contraction).
+    """
+    b, h, w, cin = x.shape
+    cout = k.shape[-1]
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    rows = jnp.concatenate(
+        [xp[:, dy : dy + h] for dy in range(3)], axis=-1
+    )  # (B, H, W+2, 3*Cin)
+    patches = jnp.concatenate(
+        [rows[:, :, dx : dx + w] for dx in range(3)], axis=-1
+    )  # (B, H, W, 9*Cin) with taps ordered (dx, dy, c)
+    kk = k.transpose(1, 0, 2, 3).reshape(9 * cin, cout)
+    y = jax.lax.dot_general(
+        patches.reshape(b * h * w, 9 * cin), kk,
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return y.reshape(b, h, w, cout).astype(x.dtype)
+
+
 def main():
     rng = np.random.RandomState(0)
     for b, h, w, cin, cout in SHAPES:
@@ -61,12 +107,44 @@ def main():
         timeit(f"xla    fwd x{n} {tag}", jax.jit(chain2_xla), x, k,
                flops=n * fl)
 
+        def chain2_shiftmm(x, k):
+            y = conv3x3_shiftmm(x, k)
+            if cin == cout:
+                y = conv3x3_shiftmm(y, k)
+            return y
+
+        def chain2_rowmm(x, k):
+            y = conv3x3_rowmm(x, k)
+            if cin == cout:
+                y = conv3x3_rowmm(y, k)
+            return y
+
+        timeit(f"shftmm fwd x{n} {tag}", jax.jit(chain2_shiftmm), x, k,
+               flops=n * fl)
+        timeit(f"rowmm  fwd x{n} {tag}", jax.jit(chain2_rowmm), x, k,
+               flops=n * fl)
+
         gp = jax.jit(jax.grad(
             lambda k: (chain2_pallas(x, k).astype(jnp.float32) ** 2).mean()))
         gx = jax.jit(jax.grad(
             lambda k: (chain2_xla(x, k).astype(jnp.float32) ** 2).mean()))
+        gs = jax.jit(jax.grad(
+            lambda k: (chain2_shiftmm(x, k).astype(jnp.float32) ** 2).mean()))
+        gr = jax.jit(jax.grad(
+            lambda k: (chain2_rowmm(x, k).astype(jnp.float32) ** 2).mean()))
         timeit(f"pallas fwd+bwd {tag}", gp, k, flops=3 * n * fl)
         timeit(f"xla    fwd+bwd {tag}", gx, k, flops=3 * n * fl)
+        timeit(f"shftmm fwd+bwd {tag}", gs, k, flops=3 * n * fl)
+        timeit(f"rowmm  fwd+bwd {tag}", gr, k, flops=3 * n * fl)
+
+        # parity of the matmul formulations vs the XLA conv oracle
+        rr = jax.jit(lambda x, k: conv3x3(x, k, "cpu"))(x, k)
+        for nm, f2 in (("shftmm", conv3x3_shiftmm), ("rowmm", conv3x3_rowmm)):
+            aa = jax.jit(f2)(x, k)
+            err = float(jax.jit(
+                lambda a, r: jnp.abs(a.astype(jnp.float32) -
+                                     r.astype(jnp.float32)).max())(aa, rr))
+            print(f"  parity err {nm} {tag}: {err:.3e}", flush=True)
 
         # parity on device
         a = jax.jit(lambda x, k: conv3x3(x, k, "tpu"))(x, k)

@@ -5,6 +5,7 @@ import argparse
 import datetime
 import os
 import sys
+import warnings
 from pathlib import Path
 
 REPO = Path(__file__).resolve().parents[1]
@@ -148,8 +149,16 @@ def main():
             dataset.set_confidence_groups(resumed["sampler"]["confidence_groups"])
 
     fmap_hw = (int(grid[1]), int(grid[0]))
+    # donate state + batch: params/opt-state update in place and the point/
+    # canvas input buffers are recycled, instead of XLA allocating a second
+    # copy of both every step (the batch is fresh from the prefetcher each
+    # iteration and the previous state is never reused after the call).
+    # On CPU backends donation is partially unsupported; silence the noise.
+    warnings.filterwarnings(
+        "ignore", message="Some donated buffers were not usable")
     step = jax.jit(make_train_step(net, cfg.MODEL, list(cfg.CLASS_NAMES), meta, tx,
-                                   fmap_hw, seed=args.seed))
+                                   fmap_hw, seed=args.seed),
+                   donate_argnums=(0, 1))
 
     mesh = make_mesh() if n_devices > 1 else None
     if mesh is not None:
