@@ -8,6 +8,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ..parallel.sharding import canvas_spec, constrain
 from ..utils.registry import BACKBONES_2D
 from .layers import ConvBNReLU
 
@@ -68,7 +69,7 @@ class BaseBEVBackbone(nn.Module):
             x = nn.BatchNorm(use_running_average=not train, momentum=0.99,
                              epsilon=1e-3, dtype=dt)(x)
             x = nn.relu(x)
-        batch["spatial_features_2d"] = x
+        batch["spatial_features_2d"] = constrain(x, *canvas_spec())
         return batch
 
 

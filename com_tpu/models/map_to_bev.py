@@ -4,6 +4,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ..parallel.sharding import canvas_spec, constrain
 from ..utils.registry import MAP_TO_BEV
 
 
@@ -31,7 +32,8 @@ class PointPillarScatter(nn.Module):
         canvas = canvas.at[bidx, flat].max(
             feats * valid[..., None].astype(feats.dtype)
         )
-        batch["spatial_features"] = canvas[:, :-1].reshape(b, ny, nx, c)
+        batch["spatial_features"] = constrain(
+            canvas[:, :-1].reshape(b, ny, nx, c), *canvas_spec())
         return batch
 
 

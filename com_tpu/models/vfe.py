@@ -17,6 +17,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops.voxelize import device_hard_voxelize, point_voxel_ids
+from ..parallel.sharding import canvas_spec, constrain
 from ..utils.registry import VFES
 from .layers import MaskedBatchNorm
 
@@ -353,7 +354,8 @@ class DynamicPillarVFE(nn.Module):
             pooled, feats = _PFNLayer(out, last, dtype=dt)(feats, smask, pool, train)
 
         c = pooled.shape[-1]
-        batch["spatial_features"] = pooled.reshape(b, ny, nx, c)
+        batch["spatial_features"] = constrain(
+            pooled.reshape(b, ny, nx, c), *canvas_spec())
         return batch
 
     def _segment_ops(self, batch, train: bool):
@@ -425,5 +427,6 @@ class DynamicPillarVFE(nn.Module):
 
         # pooled is (B*H*W + 1, C): drop trash row, reshape to the BEV canvas
         c = pooled.shape[-1]
-        batch["spatial_features"] = pooled[:-1].reshape(b, ny, nx, c)
+        batch["spatial_features"] = constrain(
+            pooled[:-1].reshape(b, ny, nx, c), *canvas_spec())
         return batch

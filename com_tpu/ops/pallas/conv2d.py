@@ -191,12 +191,24 @@ def _conv3x3_fwd_sharded(x, w, backend):
 
 
 def _cv_partition(backend, mesh, arg_shapes, result_shape):
-    arg_shardings = jax.tree_util.tree_map(lambda s: s.sharding, arg_shapes)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    # The kernel is only divisible over the batch axis: each shard runs a
+    # SAME-padded conv locally, so any H/W sharding would turn internal
+    # shard boundaries into zero halos (silently wrong), and channel
+    # sharding breaks the contraction.  Demand batch-only x and replicated
+    # w; GSPMD inserts the reshards (all-gathers) when inputs arrive with
+    # any other layout (e.g. hybrid spatial/model meshes).
+    spec = arg_shapes[0].sharding.spec
+    b_axis = spec[0] if len(spec) else None
+    arg_shardings = (NamedSharding(mesh, P(b_axis, None, None, None)),
+                     NamedSharding(mesh, P()))
 
     def lower_fn(x, w):
         return _fwd_local(x, w, backend)
 
-    return mesh, lower_fn, result_shape.sharding, arg_shardings
+    return (mesh, lower_fn,
+            NamedSharding(mesh, P(b_axis, None, None, None)), arg_shardings)
 
 
 def _cv_infer(backend, mesh, arg_shapes, result_shape):
@@ -242,9 +254,13 @@ def _conv3x3_wgrad_sharded(x, g, backend):
 def _wg_partition(backend, mesh, arg_shapes, result_shape):
     from jax.sharding import NamedSharding, PartitionSpec as P
 
+    # as in _cv_partition: only the batch axis is divisible (per-shard
+    # partials + psum); force batch-only layouts on both operands so
+    # spatial/channel-sharded inputs are reshared first, not mis-summed
     spec = arg_shapes[0].sharding.spec
     b_axis = spec[0] if len(spec) else None
-    arg_shardings = jax.tree_util.tree_map(lambda s: s.sharding, arg_shapes)
+    sh = NamedSharding(mesh, P(b_axis, None, None, None))
+    arg_shardings = (sh, sh)
 
     def lower_fn(x, g):
         dw = _wgrad_local(x, g, backend)

@@ -198,16 +198,31 @@ def _run_bcast_impl(vals, seg, op, force=None):
 
 
 def _rb_partition(op, force, mesh, arg_shapes, result_shape):
-    arg_shardings = jax.tree_util.tree_map(lambda s: s.sharding, arg_shapes)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    # divisible over batch and channels only: an N-sharded operand would
+    # split segment runs across shard boundaries and reduce them locally
+    # (silently wrong).  Demand N replicated; GSPMD reshards if needed.
+    spec = arg_shapes[0].sharding.spec
+    b_axis = spec[0] if len(spec) > 0 else None
+    c_axis = spec[2] if len(spec) > 2 else None
+    arg_shardings = (NamedSharding(mesh, P(b_axis, None, c_axis)),
+                     NamedSharding(mesh, P(b_axis, None)))
 
     def lower_fn(vals, seg):
         return _run_bcast_local(vals, seg, op, force)
 
-    return mesh, lower_fn, result_shape.sharding, arg_shardings
+    return (mesh, lower_fn,
+            NamedSharding(mesh, P(b_axis, None, c_axis)), arg_shardings)
 
 
 def _rb_infer(op, force, mesh, arg_shapes, result_shape):
-    return arg_shapes[0].sharding
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    spec = arg_shapes[0].sharding.spec
+    b_axis = spec[0] if len(spec) > 0 else None
+    c_axis = spec[2] if len(spec) > 2 else None
+    return NamedSharding(mesh, P(b_axis, None, c_axis))
 
 
 _run_bcast_part.def_partition(

@@ -4,8 +4,10 @@ The distributed design (replaces the reference's NCCL DDP stack,
 pcdet/utils/common_utils.py:144-186 + commu_utils.py):
 
 * one `jax.sharding.Mesh` over all chips with a `data` axis (the reference is
-  data-parallel only — SURVEY §2.8); `model` axis reserved for future tensor
-  sharding of large BEV backbones.
+  data-parallel only — SURVEY §2.8); optional hybrid `data x spatial x model`
+  layouts go beyond the reference: `spatial` shards BEV canvas rows (XLA
+  inserts conv halo exchanges), `model` shards conv output channels (see
+  parallel/sharding.py).
 * inputs sharded over `data` (batch axis), params/state replicated;
 * gradient psum, loss normalizers, COMLoss EMA statistics and per-group
   confidence sums all become global reductions inserted by XLA — no explicit
@@ -19,10 +21,27 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def make_mesh(devices=None, data_axis: int | None = None) -> Mesh:
+def make_mesh(devices=None, data_axis: int | None = None,
+              spatial: int = 1, model: int = 1) -> Mesh:
+    """Build the device mesh.
+
+    Default: one ``data`` axis over all chips (pure DP — the reference's only
+    mode).  ``spatial``/``model`` > 1 carve those chips into a hybrid
+    ``data x spatial x model`` mesh: ``spatial`` shards the BEV canvas rows
+    (XLA inserts conv halo exchanges), ``model`` shards conv output channels
+    (see parallel/sharding.py).  ``data_axis`` still bounds the total chips
+    used; the data axis size becomes ``n // (spatial * model)``.
+    """
     devices = devices if devices is not None else jax.devices()
     n = len(devices) if data_axis is None else data_axis
-    return Mesh(np.asarray(devices[:n]).reshape(n), axis_names=("data",))
+    if spatial == 1 and model == 1:
+        return Mesh(np.asarray(devices[:n]).reshape(n), axis_names=("data",))
+    if n % (spatial * model):
+        raise ValueError(f"{n} devices not divisible by spatial*model "
+                         f"{spatial}*{model}")
+    d = n // (spatial * model)
+    return Mesh(np.asarray(devices[:n]).reshape(d, spatial, model),
+                axis_names=("data", "spatial", "model"))
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
@@ -41,3 +60,30 @@ def shard_batch(batch: dict, mesh: Mesh) -> dict:
 
 def replicate_state(state, mesh: Mesh):
     return jax.device_put(state, replicated(mesh))
+
+
+def _leaf_spec(x, model: int):
+    """Model-axis spec for one param/opt-state leaf.
+
+    Conv kernels (rank-4 HWIO) and dense kernels (rank-2 IO) shard their
+    output-channel axis over ``model`` when divisible; everything else
+    (biases, BN scales, scalars) replicates.  GSPMD then propagates the
+    channel sharding through elementwise ops and inserts the contraction
+    psum at the next conv/dense — no hand-written collectives.
+    """
+    shape = getattr(x, "shape", ())
+    if len(shape) in (2, 4) and shape[-1] % model == 0 and shape[-1] >= model:
+        return P(*([None] * (len(shape) - 1) + ["model"]))
+    return P()
+
+
+def shard_state(state, mesh: Mesh):
+    """Place train state on the mesh: replicated on data/spatial; kernels
+    sharded over the model axis when present (falls back to replicate_state
+    on a pure-DP mesh)."""
+    if "model" not in mesh.axis_names:
+        return replicate_state(state, mesh)
+    m = mesh.shape["model"]
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, NamedSharding(mesh, _leaf_spec(x, m))),
+        state)

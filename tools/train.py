@@ -34,6 +34,12 @@ def parse_config():
                         help="rolling latest_model save period (seconds)")
     parser.add_argument("--logger_iter_interval", type=int, default=50)
     parser.add_argument("--output_dir", type=str, default=None)
+    parser.add_argument("--spatial_shard", type=int, default=1,
+                        help="shard the BEV canvas rows over this many chips "
+                             "(hybrid data x spatial mesh; XLA inserts the "
+                             "conv halo exchanges)")
+    parser.add_argument("--model_shard", type=int, default=1,
+                        help="shard conv output channels over this many chips")
     parser.add_argument("--multihost", action="store_true",
                         help="initialize jax.distributed (TPU pod slices / "
                              "multi-host; replaces the reference's "
@@ -61,7 +67,7 @@ def main():
 
     from com_tpu.data import build_dataloader
     from com_tpu.models.detectors import DatasetMeta, build_network
-    from com_tpu.parallel.mesh import make_mesh, replicate_state
+    from com_tpu.parallel.mesh import make_mesh, shard_state
     from com_tpu.train.loop import train_model
     from com_tpu.train.optim import build_optimizer
     from com_tpu.train.state import TrainState
@@ -160,9 +166,13 @@ def main():
                                    fmap_hw, seed=args.seed),
                    donate_argnums=(0, 1))
 
-    mesh = make_mesh() if n_devices > 1 else None
-    if mesh is not None:
-        state = replicate_state(state, mesh)
+    mesh = None
+    if n_devices > 1:
+        mesh = make_mesh(spatial=args.spatial_shard, model=args.model_shard)
+        from com_tpu.parallel.sharding import activate
+
+        activate(mesh)  # canvas constraints in VFE/backbone pick this up
+        state = shard_state(state, mesh)
 
     from com_tpu.utils.metrics import MetricsLogger
 
