@@ -166,8 +166,18 @@ def recall_stats(pred_boxes, gt_boxes, thresh_list=(0.3, 0.5, 0.7)):
 
 
 def eval_model(eval_step, variables, loader, class_names, logger=None,
-               recall_thresh_list=(0.3, 0.5, 0.7), batch_keys=None):
+               recall_thresh_list=(0.3, 0.5, 0.7), batch_keys=None,
+               mesh=None):
+    """Run inference over the loader; with ``mesh``, scenes shard over the
+    data axis so eval runs data-parallel like training (the reference evals
+    DDP-sharded too, eval_utils.py).  Batches not divisible by the mesh run
+    unsharded (the trailing partial batch)."""
     eval_step = jax.jit(eval_step)
+    if mesh is not None:
+        from ..parallel.mesh import batch_sharding, replicate_state
+
+        variables = replicate_state(variables, mesh)
+        n_mesh = int(mesh.shape["data"])
     det_annos = []
     recalls = {f"recall_{t}": 0 for t in recall_thresh_list}
     recalls["gt"] = 0
@@ -177,6 +187,9 @@ def eval_model(eval_step, variables, loader, class_names, logger=None,
         host = {k: v for k, v in batch.items()
                 if isinstance(v, np.ndarray)
                 and (batch_keys is None or k in batch_keys or k == "gt_boxes")}
+        if mesh is not None and len(batch["points"]) % n_mesh == 0:
+            sh = batch_sharding(mesh)
+            host = {k: jax.device_put(v, sh) for k, v in host.items()}
         boxes, scores, labels, valid = jax.device_get(eval_step(variables, host))
         bs = boxes.shape[0]
         n_frames += bs

@@ -72,6 +72,40 @@ def test_shard_state_model_axis():
     assert sharded, "no conv kernel got model-sharded"
 
 
+def test_eval_model_mesh_matches_single_device():
+    """DP eval (eval_model(mesh=...)) must produce the same detections as the
+    unsharded loop; the trailing non-divisible batch falls back unsharded."""
+    from test_train_step import META, CLASS_NAMES, tiny_model_cfg
+    from com_tpu.models.detectors import build_network
+    from com_tpu.train.eval import eval_model, make_eval_step
+
+    cfg = tiny_model_cfg(curriculum=False)
+    cfg["DENSE_HEAD"]["POST_PROCESSING"] = {
+        "SCORE_THRESH": 0.0, "MAX_OBJ_PER_SAMPLE": 16,
+        "NMS_CONFIG": {"NMS_TYPE": "nms_gpu", "NMS_THRESH": 0.7,
+                       "NMS_PRE_MAXSIZE": 64, "NMS_POST_MAXSIZE": 16},
+    }
+    net = build_network(cfg, META)
+    rng = np.random.RandomState(0)
+    batches = [synthetic_batch(np.random.RandomState(s), b=2)
+               for s in (1, 2)]
+    host_batches = [
+        {k: np.asarray(v) for k, v in b.items()} for b in batches]
+    variables = net.init(jax.random.PRNGKey(0), dict(batches[0]), train=False)
+    step = make_eval_step(net, cfg, CLASS_NAMES, META)
+
+    ref, _, _ = eval_model(step, variables, list(host_batches), CLASS_NAMES)
+    mesh = make_mesh(jax.devices()[:2])
+    got, _, _ = eval_model(step, variables, list(host_batches), CLASS_NAMES,
+                           mesh=mesh)
+    assert len(ref) == len(got) == 4
+    for a, b in zip(ref, got):
+        np.testing.assert_allclose(a["boxes_lidar"], b["boxes_lidar"],
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(a["score"], b["score"],
+                                   rtol=1e-4, atol=1e-5)
+
+
 @pytest.mark.parametrize("spatial,model", [(4, 1), (2, 2)])
 def test_hybrid_step_matches_single_device(spatial, model):
     step, state, _ = _setup(curriculum=True)

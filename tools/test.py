@@ -107,9 +107,15 @@ def evaluate_ckpt(ckpt_path, cfg, args, logger):
             lat.append((time.time() - t0) / bs)
         logger.info("inference latency: %.2f ms/frame (median of %d batches)",
                     1e3 * float(np.median(lat)), len(lat))
+    mesh = None
+    if len(jax.devices()) > 1:
+        from com_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh()  # data-parallel eval over all chips
     det_annos, recalls, spe = eval_model(
         eval_step, variables, loader, list(cfg.CLASS_NAMES), logger=logger,
         recall_thresh_list=tuple(cfg.MODEL.get("POST_PROCESSING", {}).get("RECALL_THRESH_LIST", [0.3, 0.5, 0.7])),
+        mesh=mesh,
     )
     if args.save_to_file:
         import pickle
