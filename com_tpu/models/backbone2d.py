@@ -13,14 +13,16 @@ from ..utils.registry import BACKBONES_2D
 from .layers import ConvBNReLU
 
 
-@BACKBONES_2D.register
-class BaseBEVBackbone(nn.Module):
+class _BEVBody(nn.Module):
+    """The conv stack as a (x, train) -> x module, so an optional
+    ``jax.checkpoint`` (nn.remat) boundary wraps pure array work — the batch
+    dict with its static int entries (stride tags) stays outside."""
+
     model_cfg: dict
-    input_channels: int
     dtype: object = None
 
     @nn.compact
-    def __call__(self, batch, train: bool = True):
+    def __call__(self, x, train: bool = True):
         cfg = self.model_cfg
         layer_nums = list(cfg.get("LAYER_NUMS", []))
         strides = list(cfg.get("LAYER_STRIDES", []))
@@ -28,10 +30,6 @@ class BaseBEVBackbone(nn.Module):
         up_strides = list(cfg.get("UPSAMPLE_STRIDES", []))
         up_filters = list(cfg.get("NUM_UPSAMPLE_FILTERS", []))
         dt = self.dtype
-
-        x = batch["spatial_features"]
-        if dt is not None:
-            x = x.astype(dt)
         ups = []
         for i, (ln, st, nf) in enumerate(zip(layer_nums, strides, filters)):
             x = ConvBNReLU(nf, kernel=3, stride=st, dtype=dt)(x, train)
@@ -69,6 +67,31 @@ class BaseBEVBackbone(nn.Module):
             x = nn.BatchNorm(use_running_average=not train, momentum=0.99,
                              epsilon=1e-3, dtype=dt)(x)
             x = nn.relu(x)
+        return x
+
+
+@BACKBONES_2D.register
+class BaseBEVBackbone(nn.Module):
+    """BEV backbone (base_bev_backbone.py parity).  ``REMAT: true`` in the
+    config wraps the conv stack in jax.checkpoint: activations are
+    rematerialized in the backward pass, trading ~1/3 extra conv FLOPs for
+    dropping the largest activation working set (the 468x468 canvas stack)
+    from HBM — the lever for bigger per-chip batches."""
+
+    model_cfg: dict
+    input_channels: int
+    dtype: object = None
+
+    @nn.compact
+    def __call__(self, batch, train: bool = True):
+        body_cls = _BEVBody
+        if self.model_cfg.get("REMAT", False):
+            body_cls = nn.remat(_BEVBody, static_argnums=(2,))
+        x = batch["spatial_features"]
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+        x = body_cls(model_cfg=self.model_cfg, dtype=self.dtype,
+                     name="body")(x, train)
         batch["spatial_features_2d"] = constrain(x, *canvas_spec())
         return batch
 

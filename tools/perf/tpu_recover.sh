@@ -41,6 +41,11 @@ timeout 900 python tools/perf/microbench_segops.py > "$OUT/segops_$TS.log" 2>&1 
   || echo "segops FAILED" >> "$OUT/segops_$TS.log"
 tail -20 "$OUT/segops_$TS.log"
 
+echo "[3.5/5] per-stage step breakdown..."
+timeout 1800 python tools/perf/step_breakdown.py > "$OUT/breakdown_$TS.log" 2>&1 \
+  || echo "breakdown FAILED" >> "$OUT/breakdown_$TS.log"
+tail -12 "$OUT/breakdown_$TS.log"
+
 echo "[4/5] bench.py..."
 timeout 1800 python bench.py > "$OUT/bench_$TS.json" 2> "$OUT/bench_$TS.err" \
   || echo "bench FAILED" >> "$OUT/bench_$TS.err"
