@@ -347,6 +347,16 @@ class DataBaseSampler:
                     obj_points[i] = p
         crops, crop_boxes2d, obj_idx_list = [], [], []
         if img_aug:
+            # drop point-less entries from EVERY parallel array first: the
+            # paste indices (crops / gt_boxes2d / obj_idx) must stay aligned
+            # with sampled_boxes/sampled_infos downstream
+            has_pts = np.array([p is not None for p in obj_points], bool)
+            if not has_pts.all():
+                obj_points = [p for p in obj_points if p is not None]
+                sampled_boxes = sampled_boxes[has_pts]
+                sampled_boxes2d = sampled_boxes2d[has_pts]
+                sampled_infos = [
+                    info for info, k in zip(sampled_infos, has_pts) if k]
             for i, p in enumerate(obj_points):
                 if p is None:
                     continue

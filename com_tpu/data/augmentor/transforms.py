@@ -199,35 +199,6 @@ def random_local_translation(gt_boxes, points, offset_range, axes, rng=np.random
     return gt_boxes, points
 
 
-def _box_pyramids(gt_boxes):
-    """(N, 7) boxes -> (N, 6, 5, 3) face pyramids: apex = box center, base =
-    the 4 corners of each face (augmentor_utils.get_pyramids role)."""
-    n = len(gt_boxes)
-    if n == 0:
-        return np.zeros((0, 6, 5, 3), np.float32)
-    # local corners (order: binary xyz)
-    signs = np.array([[x, y, z] for x in (-1, 1) for y in (-1, 1)
-                      for z in (-1, 1)], np.float64)  # (8, 3)
-    local = signs[None] * gt_boxes[:, None, 3:6] / 2  # (N, 8, 3)
-    c, s = np.cos(gt_boxes[:, 6]), np.sin(gt_boxes[:, 6])
-    rx = local[..., 0] * c[:, None] - local[..., 1] * s[:, None]
-    ry = local[..., 0] * s[:, None] + local[..., 1] * c[:, None]
-    corners = np.stack([rx, ry, local[..., 2]], -1) + gt_boxes[:, None, :3]
-    center = gt_boxes[:, None, :3]
-    # 6 faces as corner index quadruples (+x, -x, +y, -y, +z, -z)
-    faces = [
-        (4, 5, 7, 6), (0, 1, 3, 2),
-        (2, 3, 7, 6), (0, 1, 5, 4),
-        (1, 3, 7, 5), (0, 2, 6, 4),
-    ]
-    pyr = np.zeros((n, 6, 5, 3))
-    for fi, f in enumerate(faces):
-        pyr[:, fi, 0] = center[:, 0]
-        for k in range(4):
-            pyr[:, fi, k + 1] = corners[:, f[k]]
-    return pyr
-
-
 def _pyramid_ratios(points, pyr):
     """Barycentric-ish coordinates of points in a face pyramid
     (local_pyramid_swap get_points_ratio): alphas/betas span the base,
@@ -250,15 +221,6 @@ def _points_from_ratios(a, b, g, pyr):
     v1 = c3 - c0
     v2 = apex - base_center
     return c0 + a[:, None] * v0 + b[:, None] * v1 + g[:, None] * v2
-
-
-def _in_pyramid(points, pyr, eps=1e-6):
-    a, b, g = _pyramid_ratios(points, pyr)
-    # base spans shrink toward the apex: |coord - 0.5| <= (1 - gamma) / 2
-    return ((g >= -eps) & (g <= 1 + eps)
-            & (np.abs(a - 0.5) <= (1 - g) / 2 + eps)
-            & (np.abs(b - 0.5) <= (1 - g) / 2 + eps))
-
 
 
 def _ref_face_pyramids(gt_boxes):

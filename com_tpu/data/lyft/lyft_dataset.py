@@ -73,7 +73,7 @@ class LyftDataset(DatasetTemplate):
         official mAP loop (devkit-free here — IoU is invariant under the
         lidar->global rigid transform, so lidar-frame eval matches the
         reference's global-frame numbers), 'kitti' the KITTI-style AP."""
-        if kwargs.get("eval_metric", "lyft") == "kitti":
+        if (kwargs.get("eval_metric") or "lyft") == "kitti":
             from ..kitti.kitti_eval import kitti_evaluation
 
             gt_annos = [{
@@ -93,9 +93,13 @@ class LyftDataset(DatasetTemplate):
         lyft_mAP_eval), matched by sample token against the info gt."""
         from .lyft_eval import format_lyft_results, get_average_precisions
 
-        gt_by_token = {
-            info.get("token"): info for info in self.infos
-        }
+        # key by sample token AND lidar-file stem so det_annos that carry
+        # only frame_id (eval_model's output) still match their gt frame
+        gt_by_token = {}
+        for info in self.infos:
+            gt_by_token[info.get("token")] = info
+            if info.get("lidar_path"):
+                gt_by_token.setdefault(Path(info["lidar_path"]).stem, info)
         gt_boxes, pred_boxes = [], []
         for anno in det_annos:
             token = anno.get("metadata", {}).get("token", anno.get("frame_id"))

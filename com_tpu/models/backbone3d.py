@@ -200,7 +200,13 @@ def voxel_image_features(img_feats, coords, valid, grid_zyx, stride,
     h, w = img_feats.shape[:2]
     u = uv[:, 0] / feat_ds
     v = uv[:, 1] / feat_ds
-    inview = ((depth > 0) & (u >= 0) & (u < w - 1) & (v >= 0) & (v < h - 1)
+    # in-view bound = the TRUE image extent (img_hw), not the statically
+    # padded feature extent — voxels projecting into the zero-pad band
+    # beyond the real image edge must be masked out, not sampled
+    hw = jnp.asarray(img_hw, jnp.float32)
+    h_lim = jnp.minimum(hw[0] / feat_ds, jnp.float32(h)) - 1
+    w_lim = jnp.minimum(hw[1] / feat_ds, jnp.float32(w)) - 1
+    inview = ((depth > 0) & (u >= 0) & (u < w_lim) & (v >= 0) & (v < h_lim)
               & valid)
     u = jnp.clip(u, 0, w - 1.001)
     v = jnp.clip(v, 0, h - 1.001)
@@ -306,15 +312,19 @@ class VoxelBackBone8xFocal(VoxelBackBone8x):
             flip_y = batch.get("flip_y", zerosb).astype(bool)
             pc_range = jnp.asarray(self.point_cloud_range, jnp.float32)
 
+            img_hw = batch.get("image_shape")  # (B, 2) true extents
+            if img_hw is None:
+                img_hw = jnp.broadcast_to(jnp.asarray(
+                    batch["images"].shape[1:3], jnp.float32), (b, 2))
+
             def img_gather(c_, v_):
                 return jax.vmap(
-                    lambda fi, ci, vi, l2c, c2i, nr, ns, fx, fy:
+                    lambda fi, ci, vi, l2c, c2i, hw, nr, ns, fx, fy:
                     voxel_image_features(
                         fi, ci, vi, grid, 1, self.voxel_size, pc_range,
-                        l2c, c2i, 4.0, batch["images"].shape[1:3],
-                        nr, ns, fx, fy)
+                        l2c, c2i, 4.0, hw, nr, ns, fx, fy)
                 )(img_feats, c_, v_, batch["trans_lidar_to_cam"],
-                  batch["trans_cam_to_img"], noise_rot, noise_scale,
+                  batch["trans_cam_to_img"], img_hw, noise_rot, noise_scale,
                   flip_x, flip_y)
 
             x, coords, valid, grid, own = FocalSparseConvBlock(

@@ -62,17 +62,22 @@ def replicate_state(state, mesh: Mesh):
     return jax.device_put(state, replicated(mesh))
 
 
-def _leaf_spec(x, model: int):
+def _leaf_spec(path, x, model: int):
     """Model-axis spec for one param/opt-state leaf.
 
-    Conv kernels (rank-4 HWIO) and dense kernels (rank-2 IO) shard their
-    output-channel axis over ``model`` when divisible; everything else
-    (biases, BN scales, scalars) replicates.  GSPMD then propagates the
-    channel sharding through elementwise ops and inserts the contraction
-    psum at the next conv/dense — no hand-written collectives.
+    Only conv kernels (rank-4 HWIO) and dense kernels (rank-2 IO) — leaves
+    whose tree path ends in ``kernel``, which Adam-moment trees mirror —
+    shard their output-channel axis over ``model`` when divisible;
+    everything else (biases, BN scales, curriculum stats, scalars)
+    replicates.  GSPMD then propagates the channel sharding through
+    elementwise ops and inserts the contraction psum at the next
+    conv/dense — no hand-written collectives.
     """
     shape = getattr(x, "shape", ())
-    if len(shape) in (2, 4) and shape[-1] % model == 0 and shape[-1] >= model:
+    is_kernel = any(
+        getattr(p, "key", getattr(p, "name", None)) == "kernel" for p in path
+    )
+    if is_kernel and len(shape) in (2, 4) and shape[-1] % model == 0:
         return P(*([None] * (len(shape) - 1) + ["model"]))
     return P()
 
@@ -84,6 +89,7 @@ def shard_state(state, mesh: Mesh):
     if "model" not in mesh.axis_names:
         return replicate_state(state, mesh)
     m = mesh.shape["model"]
-    return jax.tree_util.tree_map(
-        lambda x: jax.device_put(x, NamedSharding(mesh, _leaf_spec(x, m))),
+    return jax.tree_util.tree_map_with_path(
+        lambda p, x: jax.device_put(
+            x, NamedSharding(mesh, _leaf_spec(p, x, m))),
         state)

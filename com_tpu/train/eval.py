@@ -200,13 +200,18 @@ def eval_model(eval_step, variables, loader, class_names, logger=None,
             frame_scores = scores[i][v][order]
             frame_labels = labels[i][v][order]
             frame_id = batch.get("frame_id", [None] * bs)[i]
-            det_annos.append({
+            anno = {
                 "frame_id": frame_id,
                 "boxes_lidar": frame_boxes,
                 "score": frame_scores,
                 "pred_labels": frame_labels,
                 "name": np.array([class_names[int(l) - 1] for l in frame_labels]),
-            })
+            }
+            # sample-token metadata (lyft/nuscenes match gt by token)
+            md = batch.get("metadata")
+            if md is not None and md[i] is not None:
+                anno["metadata"] = md[i]
+            det_annos.append(anno)
             if "gt_boxes" in batch:
                 r = recall_stats(frame_boxes, batch["gt_boxes"][i], recall_thresh_list)
                 for k in recalls:

@@ -86,13 +86,23 @@ def load_params_only(path, state, logger=None):
     payload = ocp.PyTreeCheckpointer().restore(Path(path).absolute())
     src = payload.get("state", payload)
 
+    def norm(k):
+        # scope-migration shim (reference's spconv 1.x<->2.x weight
+        # migration role): the remat refactor nested the BEV conv stack
+        # under a 'body' child scope, so match keys with wrapper scopes
+        # elided — checkpoints from either side of the refactor load
+        return tuple(p for p in k if p != "body")
+
     def merge(dst_tree, src_tree, name):
         flat_dst = dict(_flatten(dst_tree))
         flat_src = dict(_flatten(src_tree)) if src_tree is not None else {}
+        flat_src_norm = {norm(k): v for k, v in flat_src.items()}
         loaded = skipped = 0
         out = {}
         for k, v in flat_dst.items():
             s = flat_src.get(k)
+            if s is None:
+                s = flat_src_norm.get(norm(k))
             if s is not None and np.shape(s) == np.shape(v):
                 out[k] = np.asarray(s, dtype=np.asarray(v).dtype)
                 loaded += 1

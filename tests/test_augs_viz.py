@@ -5,8 +5,8 @@ import numpy as np
 
 from com_tpu.data.augmentor.database_sampler import DataBaseSampler
 from com_tpu.data.augmentor.transforms import (
-    _box_pyramids,
-    _in_pyramid,
+    _points_in_hulls,
+    _ref_face_pyramids,
     local_pyramid_swap,
 )
 from com_tpu.utils.visualize import draw_scene_bev
@@ -18,13 +18,13 @@ def test_pyramid_membership_and_swap():
         [0.0, 0, 0, 4, 2, 2, 0.0],
         [10.0, 0, 0, 4, 2, 2, 0.0],
     ], np.float32)
-    pyr = _box_pyramids(boxes)
+    pyr = _ref_face_pyramids(boxes)
     assert pyr.shape == (2, 6, 5, 3)
     # center of box 0 is the apex of all its pyramids; a point near the +x
-    # face belongs to the +x pyramid
+    # face belongs to the +x pyramid (face 0 in the reference's order)
     p = np.asarray([[1.8, 0.0, 0.0, 0.5]], np.float32)
-    memberships = [_in_pyramid(p, pyr[0, f])[0] for f in range(6)]
-    assert memberships[0] and sum(memberships) == 1
+    memberships = _points_in_hulls(p, pyr[0])[0]
+    assert memberships[0] and memberships.sum() == 1
 
     # points in both boxes' +x pyramids; force a swap
     pts = []

@@ -223,3 +223,30 @@ def test_lyft_dataset_evaluation_end_to_end():
                                          eval_metric="lyft")
     assert result["car"] == pytest.approx(1.0)
     assert result["mAP"] == pytest.approx(1.0)
+
+
+def test_lyft_evaluation_matches_by_frame_id():
+    """det_annos carrying only frame_id (eval_model's historical output)
+    still match their gt frame via the lidar-file-stem secondary key; an
+    eval_metric=None kwarg (tools/test.py with no EVAL_METRIC in config)
+    defaults to the lyft loop instead of crashing."""
+    from com_tpu.data.lyft.lyft_dataset import LyftDataset
+
+    box = np.array([5.0, 2.0, 1.0, 4.5, 1.9, 1.7, 0.3])
+    ds = LyftDataset.__new__(LyftDataset)
+    ds.infos = [{
+        "token": "abcdef0123456789",
+        "lidar_path": "lidar/host-a004_lidar1_12345.bin",
+        "gt_boxes": box[None],
+        "gt_names": np.array(["car"]),
+    }]
+    ds.dataset_cfg = {}
+    det = [{
+        "frame_id": "host-a004_lidar1_12345",
+        "boxes_lidar": box[None],
+        "name": np.array(["car"]),
+        "score": np.array([0.9]),
+    }]
+    msg, result = LyftDataset.evaluation(ds, det, ["car"], eval_metric=None)
+    assert result["car"] == pytest.approx(1.0)
+    assert result["mAP"] == pytest.approx(1.0)

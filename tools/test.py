@@ -125,7 +125,12 @@ def evaluate_ckpt(ckpt_path, cfg, args, logger):
             pickle.dump(det_annos, f)
         logger.info("wrote %s (%d frames)", out_path, len(det_annos))
     if hasattr(dataset, "evaluation"):
-        result_str, result_dict = dataset.evaluation(det_annos, list(cfg.CLASS_NAMES))
+        # forward the config-declared metric (reference test.py passes
+        # eval_metric=cfg.MODEL.POST_PROCESSING.EVAL_METRIC)
+        result_str, result_dict = dataset.evaluation(
+            det_annos, list(cfg.CLASS_NAMES),
+            eval_metric=cfg.MODEL.get("POST_PROCESSING", {}).get(
+                "EVAL_METRIC", None))
         logger.info("eval result: %s", result_str)
         return result_dict
     return {}
