@@ -68,14 +68,21 @@ def save_latest(state, ckpt_dir, epoch: int, it: int,
 
 def load_checkpoint(path, target_state=None):
     ckptr = ocp.PyTreeCheckpointer()
-    if target_state is not None:
-        template = {"state": target_state,
-                    "meta": {"epoch": 0, "it": 0, "version": ""}}
-        try:
-            return ckptr.restore(Path(path).absolute(), item=template)
-        except Exception:
-            pass
-    return ckptr.restore(Path(path).absolute())
+    raw = ckptr.restore(Path(path).absolute())
+    if target_state is None:
+        return raw
+    # restore the train state against the typed template (TrainState pytree,
+    # correct dtypes/shardings); any extra payload keys the checkpoint
+    # carries (e.g. COM's "sampler" confidences) ride through from the raw
+    # read — a {state, meta}-only template would structure-mismatch them
+    # and silently degrade the whole payload to raw dicts (the rehearsal's
+    # resume-step failure mode)
+    template = dict(raw)
+    template["state"] = target_state
+    try:
+        return ckptr.restore(Path(path).absolute(), item=template)
+    except Exception:
+        return raw
 
 
 def load_params_only(path, state, logger=None):

@@ -39,11 +39,14 @@ def test_roundtrip_and_prune(tmp_path):
     assert payload is not None
     assert int(payload["meta"]["epoch"]) == 4
     rs = payload["state"]
-    got_w = rs.params["w"] if hasattr(rs, "params") else rs["params"]["w"]
-    np.testing.assert_allclose(np.asarray(got_w), np.asarray(state.params["w"]))
-    cur = rs.curriculum[0] if hasattr(rs, "curriculum") else rs["curriculum"][0]
-    avg = cur.avg_confidence if hasattr(cur, "avg_confidence") else cur["avg_confidence"]
-    assert abs(float(avg) - 0.25) < 1e-6
+    # the restore must come back TYPED even though the payload carries the
+    # extra "sampler" subtree — a {state, meta}-only template used to
+    # structure-mismatch and silently degrade the payload to raw dicts,
+    # which then crashed the resumed train step (state.params on a dict)
+    assert isinstance(rs, TrainState), type(rs)
+    np.testing.assert_allclose(np.asarray(rs.params["w"]),
+                               np.asarray(state.params["w"]))
+    assert abs(float(rs.curriculum[0].avg_confidence) - 0.25) < 1e-6
     np.testing.assert_allclose(payload["sampler"]["confidence_groups"],
                                sampler_state["confidence_groups"])
 
