@@ -16,6 +16,11 @@ def focal_loss_centernet(pred, gt, mask=None):
     per-pixel weights (the COM curriculum mask).  Reference applies the mask
     with a buggy extra broadcast dim (loss_utils.py:1293-1296 creates a
     (B,B,C,H,W) product); we apply it correctly elementwise.
+
+    With a mask, the normalizer is the mask-WEIGHTED positive count — that is
+    the reference's own semantics (loss_utils.py:1296 num_pos =
+    (pos_inds * mask).sum()), deliberately kept (golden-tested), even though
+    plain CornerNet would normalize by the raw count.
     """
     pos_inds = (gt == 1.0).astype(pred.dtype)
     neg_inds = (gt < 1.0).astype(pred.dtype)

@@ -81,7 +81,12 @@ def group_confidences(pred_hm, targets: CenterTargets, num_class, num_groups):
     (confidence_of_all_groups, loss_utils.py:1160-1177)."""
     p = _object_confidences(pred_hm, targets)
     valid = (targets.mask > 0) & (targets.group >= 1)
-    seg = targets.class_local * num_groups + (targets.group - 1)
+    # confidence rows are GLOBAL classes: a multi-head config (one class per
+    # head) has class_local == 0 in every head, which would collapse all
+    # classes into row 0 of the (num_class, num_groups) tensor
+    cls_row = (targets.class_global if targets.class_global is not None
+               else targets.class_local)
+    seg = cls_row * num_groups + (targets.group - 1)
     seg = jnp.where(valid, seg, num_class * num_groups).reshape(-1)
     n = num_class * num_groups + 1
     sums = jax.ops.segment_sum(jnp.where(valid, p, 0.0).reshape(-1), seg, num_segments=n)

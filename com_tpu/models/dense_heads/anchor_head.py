@@ -70,7 +70,13 @@ class AnchorHeadSingle(nn.Module):
             len(c["anchor_sizes"]) * len(c["anchor_rotations"]) * len(c["anchor_bottom_heights"])
             for c in self.model_cfg["ANCHOR_GENERATOR_CONFIG"]
         )
-        code_size = 7
+        # emit the coder's full encoding width (BOX_CODER_CONFIG: sincos
+        # adds a channel, code_size 9 adds velocity residuals) — the loss
+        # and eval reshape by the same coder
+        coder_cfg = self.model_cfg.get("TARGET_ASSIGNER_CONFIG", {}).get(
+            "BOX_CODER_CONFIG", {})
+        code_size = int(coder_cfg.get("code_size", 7)) + (
+            1 if coder_cfg.get("encode_angle_by_sincos", False) else 0)
         cls_preds = nn.Conv(
             num_anchors * self.num_class, (1, 1), use_bias=True,
             bias_init=nn.initializers.constant(-float(np.log((1 - 0.01) / 0.01))),
@@ -217,7 +223,8 @@ def decode_anchor_boxes(batch, anchors_flat, anchor_class_ids, num_class,
     anchors_flat: (A, 7) concat over classes in the same order as preds.
     anchor_class_ids: (A,) global 1-based class of each anchor.
     """
-    cls_flat, box_flat, dir_flat = reshape_anchor_preds(batch, num_class)
+    cls_flat, box_flat, dir_flat = reshape_anchor_preds(
+        batch, num_class, code_size=box_coder.code_size)
     cls_scores = jax.nn.sigmoid(cls_flat)  # (B, A, C)
     scores = cls_scores.max(axis=-1)
     boxes = box_coder.decode(box_flat, anchors_flat[None], xp=jnp)

@@ -25,13 +25,22 @@ class CenterTargets(NamedTuple):
     radius: jax.Array  # (B, M) int32
     class_local: jax.Array  # (B, M) int32 local class id within head
     group: jax.Array  # (B, M) int32 COM difficulty group (0 = none)
+    # global 0-based class index for cross-head bookkeeping (confidence
+    # rows); defaults to None for compat -> consumers fall back to
+    # class_local (exact for single-head configs)
+    class_global: jax.Array | None = None
 
 
-def cluster_com_groups(gt_boxes, true_object, occupancy_ratio, facade_type):
+def cluster_com_groups(gt_boxes, true_object, occupancy_ratio, facade_type,
+                       vehicle_ids=(1,)):
     """Per-object COM difficulty group ids (curriculum_center_head.py:431-473).
 
-    Vehicle (class 1): 3 distance x 2 length x 4 facade x 4 occupancy = 96
-    groups; Pedestrian/Cyclist (2/3): 3 distance x 5 occupancy = 15 groups.
+    Vehicle-like classes (global 1-based ids in ``vehicle_ids``): 3 distance
+    x 2 length x 4 facade x 4 occupancy = 96 groups; Pedestrian/Cyclist:
+    3 distance x 5 occupancy = 15 groups.  The reference hardcodes class 1 =
+    Vehicle (Waymo order); ``vehicle_ids`` generalizes that so single-class
+    Pedestrian configs (class id 1 = Pedestrian) and KITTI's Car get the
+    right scheme (head_zoo.py ped_merge cluster override role).
     Only true (non-pasted) objects get a group; everything else is 0.
     Occupancy bins iterate from *high to low* (easy->hard), matching the
     reference's reversed condition lists.
@@ -61,10 +70,13 @@ def cluster_com_groups(gt_boxes, true_object, occupancy_ratio, facade_type):
     car_group = ((dist_bin * 2 + length_bin) * 4 + facade_bin) * 4 + occ_car + 1
     pc_group = dist_bin * 5 + occ_pc + 1
 
-    group = jnp.where(class_id == 1, car_group, pc_group)
+    is_vehicle = jnp.zeros_like(class_id, dtype=bool)
+    for vid in vehicle_ids:
+        is_vehicle = is_vehicle | (class_id == int(vid))
+    group = jnp.where(is_vehicle, car_group, pc_group)
     is_true = true_object.astype(jnp.int32) == 1
     valid_facade = (facade_bin >= 0) & (facade_bin <= 3)
-    group = jnp.where(is_true & ((class_id != 1) | valid_facade), group, 0)
+    group = jnp.where(is_true & (~is_vehicle | valid_facade), group, 0)
     return group.astype(jnp.int32)
 
 
@@ -149,4 +161,5 @@ def assign_centerpoint_targets(
         radius=radius * valid.astype(jnp.int32),
         class_local=jnp.maximum(local, 0) * valid.astype(jnp.int32),
         group=group * valid.astype(jnp.int32),
+        class_global=jnp.maximum(gclass - 1, 0) * valid.astype(jnp.int32),
     )

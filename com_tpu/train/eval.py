@@ -28,10 +28,9 @@ def make_eval_step(net, model_cfg, class_names, meta):
     stride = int(head_cfg["TARGET_ASSIGNER_CONFIG"].get("FEATURE_MAP_STRIDE", 1))
 
     def head_groups():
-        out = []
-        for names in head_cfg["CLASS_NAMES_EACH_HEAD"]:
-            out.append(tuple(class_names.index(n) + 1 for n in names if n in class_names))
-        return out
+        from .step import _head_groups
+
+        return _head_groups(model_cfg, class_names)
 
     def eval_step(variables, batch):
         out = net.apply(variables, dict(batch), train=False)
@@ -137,7 +136,16 @@ def _make_anchor_eval_step(net, model_cfg, class_names, meta):
     anchors_flat, _, _, _, class_ids = build_anchors(
         head_cfg, list(class_names), meta.grid_size, meta.point_cloud_range
     )
-    coder = ResidualCoder()
+    # honor the config's coder exactly as the training loss does
+    # (step.py BOX_CODER_CONFIG): code_size 9 / sincos heads emit wider
+    # box preds that a default 7-dim coder would mis-decode
+    coder_cfg = head_cfg.get("TARGET_ASSIGNER_CONFIG", {}).get(
+        "BOX_CODER_CONFIG", {})
+    coder = ResidualCoder(
+        code_size=int(coder_cfg.get("code_size", 7)),
+        encode_angle_by_sincos=bool(
+            coder_cfg.get("encode_angle_by_sincos", False)),
+    )
 
     def eval_step(variables, batch):
         out = net.apply(variables, dict(batch), train=False)

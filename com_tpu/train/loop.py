@@ -42,10 +42,14 @@ class DevicePrefetcher:
                 return shard_batch(host_batch, mesh)
             return jax.device_put(host_batch)
 
+        self._error = None
+
         def worker():
             try:
                 for batch in host_iter:
                     self.q.put(to_device(batch))
+            except BaseException as e:  # surfaced in the consumer thread
+                self._error = e
             finally:
                 self.q.put(self._stop)
 
@@ -56,6 +60,12 @@ class DevicePrefetcher:
         while True:
             item = self.q.get()
             if item is self._stop:
+                # a loader/transfer failure must fail the run, not read as a
+                # clean end of epoch (which would checkpoint + feed back
+                # curriculum stats from a silently truncated epoch)
+                if self._error is not None:
+                    raise RuntimeError(
+                        "data prefetch worker failed") from self._error
                 return
             yield item
 
@@ -75,8 +85,11 @@ def train_model(
     metric_hook=None,
     batch_keys=None,
     ckpt_save_time_interval: float = 300.0,
+    start_iter: int = 0,
 ):
-    accumulated_iter = 0
+    # resume continues the reference's monotone `it` bookkeeping
+    # (checkpoint metadata orders by iteration; train_utils.py:354-370)
+    accumulated_iter = start_iter
     last_timed_save = time.time()
     for epoch in range(start_epoch, num_epochs):
         loader.set_epoch(epoch)

@@ -124,6 +124,11 @@ def build_optimizer(params, optim_cfg, total_steps: int, steps_per_epoch: int):
             bool(optim_cfg.get("LR_WARMUP", False)),
             float(optim_cfg.get("DIV_FACTOR", 10.0)),
         )
+        # torch Adam(weight_decay=...) couples L2 into the gradient BEFORE
+        # the adam moments (reference optimization/__init__.py 'adam'
+        # branch, applied to every param — no bias/norm split there)
+        if wd > 0:
+            chain.append(optax.add_decayed_weights(wd))
         chain.append(optax.scale_by_adam())
         chain.append(optax.scale_by_schedule(lambda s: -lr_fn(s)))
         return optax.chain(*chain), lr_fn

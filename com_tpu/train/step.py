@@ -46,14 +46,39 @@ def _is_curriculum_head(model_cfg):
     return "LOSS_CURRICULUM" in model_cfg.get("DENSE_HEAD", {})
 
 
+_VEHICLE_NAMES = ("Vehicle", "Car", "Truck", "Bus")
+
+
+def vehicle_class_ids(class_names):
+    """Global 1-based ids of classes using the 96-group vehicle scheme."""
+    return tuple(i + 1 for i, n in enumerate(class_names)
+                 if n in _VEHICLE_NAMES)
+
+
 def conf_shape_for(model_cfg, class_names):
     """(num_class, num_groups) of the curriculum confidence tensor.
 
-    head_zoo parity: 3-class head -> (3, 96); single-class Vehicle -> (1, 96);
-    single-class Pedestrian/Cyclist -> (1, 15)."""
+    head_zoo parity: 3-class head -> (3, 96); single-class Vehicle (or any
+    vehicle-like class, e.g. KITTI Car) -> (1, 96); single-class
+    Pedestrian/Cyclist -> (1, 15)."""
     n = len(class_names)
-    groups = 96 if ("Vehicle" in class_names or n > 1) else 15
+    groups = 96 if (vehicle_class_ids(class_names) or n > 1) else 15
     return (n, groups)
+
+
+def com_groups_for(batch, gt_boxes, is_cur, class_names):
+    """Per-object COM group ids, or zeros when the curriculum is off /
+    the COM side-arrays are absent (shared by the center and anchor
+    loss paths)."""
+    if is_cur and "true_object" in batch:
+        return cluster_com_groups(
+            gt_boxes,
+            batch["true_object"],
+            batch.get("occupancy_ratio", jnp.zeros(gt_boxes.shape[:2])),
+            batch.get("facade_type", jnp.zeros(gt_boxes.shape[:2])),
+            vehicle_ids=vehicle_class_ids(class_names) or (-1,),
+        )
+    return jnp.zeros(gt_boxes.shape[:2], jnp.int32)
 
 
 def compute_centerpoint_loss(
@@ -81,15 +106,7 @@ def compute_centerpoint_loss(
 
     gt_boxes = batch["gt_boxes"]
     npgt = batch.get("num_points_in_gt", jnp.zeros(gt_boxes.shape[:2]))
-    if is_cur and "true_object" in batch:
-        group = cluster_com_groups(
-            gt_boxes,
-            batch["true_object"],
-            batch.get("occupancy_ratio", jnp.zeros(gt_boxes.shape[:2])),
-            batch.get("facade_type", jnp.zeros(gt_boxes.shape[:2])),
-        )
-    else:
-        group = jnp.zeros(gt_boxes.shape[:2], jnp.int32)
+    group = com_groups_for(batch, gt_boxes, is_cur, class_names)
 
     fmap_h, fmap_w = fmap_hw
     total = 0.0
@@ -179,6 +196,10 @@ def compute_anchor_loss(batch, model_cfg, class_names, meta, curriculum_states, 
     curriculum_cfg = head_cfg.get("LOSS_CURRICULUM", None)
     is_cur = curriculum_cfg is not None
     num_class = len(class_names)
+    # the per-(class, group) confidence tensor must match the TrainState
+    # accumulators (conf_shape_for), not a hardcoded 96: single-class
+    # Pedestrian/Cyclist/Car-free configs run 15 groups
+    _, num_groups = conf_shape_for(model_cfg, class_names)
 
     anchors_flat, per_class_index, matched, unmatched, class_ids = build_anchors(
         head_cfg, list(class_names), meta.grid_size, meta.point_cloud_range
@@ -192,14 +213,7 @@ def compute_anchor_loss(batch, model_cfg, class_names, meta, curriculum_states, 
     )
 
     gt_boxes = batch["gt_boxes"]
-    if is_cur and "true_object" in batch:
-        group = cluster_com_groups(
-            gt_boxes, batch["true_object"],
-            batch.get("occupancy_ratio", jnp.zeros(gt_boxes.shape[:2])),
-            batch.get("facade_type", jnp.zeros(gt_boxes.shape[:2])),
-        )
-    else:
-        group = jnp.zeros(gt_boxes.shape[:2], jnp.int32)
+    group = com_groups_for(batch, gt_boxes, is_cur, class_names)
 
     ta_cfg = head_cfg.get("TARGET_ASSIGNER_CONFIG", {})
     if ta_cfg.get("NAME") == "ATSSTargetAssigner":
@@ -236,6 +250,7 @@ def compute_anchor_loss(batch, model_cfg, class_names, meta, curriculum_states, 
         state0 = curriculum_states[0] if curriculum_states else AnchorCurriculumState.create(num_class)
         cls_loss_src, cw, new_state, (conf_sum, conf_cnt) = curriculum_sigmoid_focal_loss(
             cls_flat, one_hot, cls_w, groups_oh, state0, curriculum_cfg, epoch,
+            num_groups=num_groups,
         )
         # reduce per-class weight to per-anchor (reference squeezes the class
         # dim for its single-class configs; multi-class uses the max)
@@ -244,7 +259,7 @@ def compute_anchor_loss(batch, model_cfg, class_names, meta, curriculum_states, 
     else:
         cls_loss_src = sigmoid_focal_loss(cls_flat, one_hot, cls_w)
         conf_sum, conf_cnt = anchor_group_confidences(
-            jax.nn.sigmoid(cls_flat), groups_oh, num_class
+            jax.nn.sigmoid(cls_flat), groups_oh, num_class, num_groups
         )
         cw_anchor = jnp.ones_like(cls_w)
         if curriculum_states:

@@ -54,6 +54,7 @@ cat "$OUT/bench_$TS.json"
 if [ "${1:-}" != "--skip-rehearsal" ]; then
   echo "[5/5] COM rehearsal on TPU..."
   timeout 5400 python tools/com_rehearsal.py --epochs 3 --device ambient \
+    --output_dir "$REPO/output/com_rehearsal_tpu" \
     > "$OUT/rehearsal_$TS.log" 2>&1 || echo "rehearsal FAILED" >> "$OUT/rehearsal_$TS.log"
   tail -10 "$OUT/rehearsal_$TS.log"
 fi

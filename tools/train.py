@@ -143,6 +143,7 @@ def main():
     from com_tpu.utils.transfer import host_zeros_like
 
     start_epoch = 0
+    start_iter = 0
     if args.pretrained_model:
         from com_tpu.utils.checkpoint import load_params_only
 
@@ -151,6 +152,7 @@ def main():
     if resumed is not None:
         state = resumed["state"]
         start_epoch = int(resumed["meta"]["epoch"])
+        start_iter = int(resumed["meta"].get("it", 0))
         if resumed.get("sampler") is not None:
             dataset.set_confidence_groups(resumed["sampler"]["confidence_groups"])
 
@@ -206,7 +208,7 @@ def main():
         ckpt_save_interval=args.ckpt_save_interval,
         ckpt_save_time_interval=float(args.ckpt_save_time_interval),
         max_ckpt_save_num=args.max_ckpt_save_num, mesh=mesh, batch_keys=bkeys,
-        metric_hook=metric_hook,
+        metric_hook=metric_hook, start_iter=start_iter,
     )
     mlog.close()
     logger.info("training done: %d iterations", it)
