@@ -12,6 +12,8 @@ Covers the reference VFE family (pcdet/models/backbones_3d/vfe/):
 """
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
@@ -333,6 +335,13 @@ class DynamicPillarVFE(nn.Module):
         # the flattened index stream sorted, so the canvas scatter gets the
         # indices_are_sorted fast path
         segg = (sseg + jnp.arange(b, dtype=jnp.int32)[:, None] * (hw + 1)).reshape(-1)
+        # compact canvas write: scatter one row per occupied pillar instead
+        # of one per point (ops/scatter.compact_canvas_max); a run-count
+        # check falls back to the dense scatter when a scene exceeds the cap
+        compact_cap = self.model_cfg.get("COMPACT_CANVAS_CAP", None)
+        env_cap = os.environ.get("COM_TPU_COMPACT_CANVAS", "")
+        if env_cap:
+            compact_cap = None if env_cap == "0" else int(env_cap)
         pooled = None
         for i, out in enumerate(num_filters):
             last = i == len(num_filters) - 1
@@ -342,10 +351,21 @@ class DynamicPillarVFE(nn.Module):
                     xm = run_bcast(x, sseg, "max", force)
                     return xm, xm
                 c = x.shape[-1]
-                canvas = jax.ops.segment_max(
-                    x.reshape(b * n, c), segg,
-                    num_segments=b * (hw + 1), indices_are_sorted=True,
-                )
+
+                def dense(x):
+                    return jax.ops.segment_max(
+                        x.reshape(b * n, c), segg,
+                        num_segments=b * (hw + 1), indices_are_sorted=True,
+                    )
+
+                if compact_cap:
+                    from ..ops.scatter import compact_canvas_max
+
+                    cc, ok = compact_canvas_max(
+                        x, sseg, hw, int(compact_cap), force)
+                    canvas = jax.lax.cond(ok, lambda x: cc, dense, x)
+                else:
+                    canvas = dense(x)
                 canvas = jnp.where(
                     jnp.isfinite(canvas), canvas, jnp.zeros((), canvas.dtype)
                 )

@@ -30,6 +30,46 @@ def segment_mean(data, segment_ids, num_segments, eps=1e-8):
     return s / jnp.clip(cnt, eps, None)
 
 
+def compact_canvas_max(x, sseg, hw: int, cap: int, force=None):
+    """Canvas max-scatter for PILLAR-SORTED point streams via run compaction.
+
+    Equivalent to ``segment_max(x.reshape(B*N,C), global_ids,
+    B*(hw+1))`` (the dense scatter in DynamicPillarVFE._sorted_scan) but
+    scatters only one row per occupied pillar instead of one per point:
+
+      1. per-point run max (Pallas segmented scan, ops/pallas/seg_scan);
+      2. run starts -> at most ``cap`` (position, row) pairs via a static-
+         size ``nonzero`` (a cumsum + narrow int scatter, no (N, C) traffic);
+      3. gather the (cap, C) run maxima and max-scatter them to the canvas
+         (indices sorted + unique -> XLA's fastest scatter path).
+
+    The reference's torch_scatter.scatter_max works over pre-compacted
+    unique voxels (dynamic_pillar_vfe.py:36-46) — this recovers that
+    compactness on TPU without dynamic shapes.
+
+    x: (B, N, C) sorted by sseg per sample; sseg: (B, N) ids in [0, hw]
+    (hw = trash).  Returns (canvas (B*(hw+1), C) with empty rows -inf,
+    ok: scalar bool, False when the scene had more than ``cap`` runs —
+    callers must fall back to the dense scatter to avoid dropping pillars).
+    """
+    from .pallas.seg_scan import run_bcast
+
+    b, n, c = x.shape
+    runmax = run_bcast(x, sseg, "max", force)
+    segg = (sseg.astype(jnp.int32)
+            + jnp.arange(b, dtype=jnp.int32)[:, None] * (hw + 1)).reshape(-1)
+    start = jnp.concatenate(
+        [jnp.ones((1,), bool), segg[1:] != segg[:-1]])
+    ok = start.sum() <= cap
+    idx = jnp.nonzero(start, size=cap, fill_value=b * n)[0]
+    rows = jnp.take(segg, idx, mode="fill", fill_value=b * (hw + 1))
+    vals = jnp.take(runmax.reshape(b * n, c), idx, axis=0, mode="fill",
+                    fill_value=-jnp.inf)
+    canvas = jnp.full((b * (hw + 1), c), -jnp.inf, x.dtype).at[rows].max(
+        vals, indices_are_sorted=True, unique_indices=True, mode="drop")
+    return canvas, ok
+
+
 def scatter_to_bev(
     pillar_features: jax.Array,  # (P, C)
     flat_ids: jax.Array,  # (P,) int32 in [0, H*W], H*W = trash

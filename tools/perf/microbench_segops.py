@@ -79,6 +79,32 @@ narrow_scatter = jax.jit(
 )
 flip_rows = jax.jit(lambda v: jnp.flip(v, axis=0))
 
+# end-to-end canvas-write candidates at VFE shapes: sorted per-sample stream
+import sys  # noqa: E402
+from pathlib import Path  # noqa: E402
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
+from com_tpu.ops.scatter import compact_canvas_max  # noqa: E402
+
+HW = 468 * 468
+seg_b = jnp.asarray(np.sort(seg_np.reshape(B, N1) % HW, axis=1).astype(np.int32))
+vals_b = vals.reshape(B, N1, C)
+segg_b = (seg_b + jnp.arange(B, dtype=jnp.int32)[:, None] * (HW + 1)).reshape(-1)
+dense_canvas = jax.jit(
+    lambda v: jax.ops.segment_max(
+        v.reshape(B * N1, C), segg_b, num_segments=B * (HW + 1),
+        indices_are_sorted=True))
+compact_canvas = jax.jit(
+    lambda v: compact_canvas_max(v, seg_b, HW, cap=65536)[0])
+
+
+def _canvas_loss(write):
+    def f(v):
+        cv = write(v)
+        return jnp.sum(jnp.where(jnp.isfinite(cv), cv, 0.0))
+    return jax.jit(jax.grad(f))
+
+
 if __name__ == "__main__":
     print(f"N={N} M={M} C={C} R={R} on {jax.devices()[0].platform}")
     timeit("segment_sum (N,64)->M canvas", segsum, vals, seg_raw)
@@ -95,3 +121,7 @@ if __name__ == "__main__":
     timeit("compact scatter R->canvas (unique)", compact_scatter, compact_vals, compact_rows)
     timeit("narrow scatter-add count (N,)->M", narrow_scatter, seg_raw)
     timeit("flip rows (N,64)", flip_rows, vals)
+    timeit("canvas write DENSE fwd", dense_canvas, vals_b)
+    timeit("canvas write COMPACT fwd (cap 64k)", compact_canvas, vals_b)
+    timeit("canvas write DENSE fwd+bwd", _canvas_loss(dense_canvas), vals_b)
+    timeit("canvas write COMPACT fwd+bwd", _canvas_loss(compact_canvas), vals_b)
