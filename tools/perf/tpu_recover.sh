@@ -51,6 +51,12 @@ timeout 1800 python bench.py > "$OUT/bench_$TS.json" 2> "$OUT/bench_$TS.err" \
   || echo "bench FAILED" >> "$OUT/bench_$TS.err"
 cat "$OUT/bench_$TS.json"
 
+echo "[4.5/5] bench.py with compact canvas scatter..."
+COM_TPU_COMPACT_CANVAS=65536 timeout 1800 python bench.py \
+  > "$OUT/bench_compact_$TS.json" 2> "$OUT/bench_compact_$TS.err" \
+  || echo "bench compact FAILED" >> "$OUT/bench_compact_$TS.err"
+cat "$OUT/bench_compact_$TS.json"
+
 if [ "${1:-}" != "--skip-rehearsal" ]; then
   echo "[5/5] COM rehearsal on TPU..."
   timeout 5400 python tools/com_rehearsal.py --epochs 3 --device ambient \
