@@ -72,9 +72,10 @@ def probe_tpu(timeout_s: float = 55.0):
 def main():
     ok, detail = probe_tpu()
     if not ok:
-        # one retry — transient relay hiccups recover on a fresh connect
-        time.sleep(5)
-        ok, detail = probe_tpu()
+        # one shorter retry — transient relay hiccups recover on a fresh
+        # connect; keeps the total diagnostic path under ~100 s
+        time.sleep(3)
+        ok, detail = probe_tpu(timeout_s=40.0)
     if not ok:
         print(json.dumps({
             "metric": "waymo_centerpoint_com_train_scenes_per_sec_per_chip",
