@@ -109,7 +109,14 @@ def build_optimizer(params, optim_cfg, total_steps: int, steps_per_epoch: int):
         adam = optax.inject_hyperparams(optax.scale_by_adam)(b1=mom_fn)
         chain.append(adam)
         if wd > 0:
-            chain.append(optax.add_decayed_weights(wd, mask=_decay_mask(params)))
+            # fastai OptimWrapper true_wd=True, bn_wd=True
+            # (reference optimization/__init__.py:30-32, fastai_optim.py:138-150):
+            # decoupled p *= 1 - wd*lr on EVERY param group, bias/BN included.
+            # optim_cfg.BN_WD=False opts into the masked split the fastai
+            # code only reaches with bn_wd=False (no reference config does).
+            mask = (None if optim_cfg.get("BN_WD", True)
+                    else _decay_mask(params))
+            chain.append(optax.add_decayed_weights(wd, mask=mask))
         chain.append(optax.scale_by_schedule(lambda s: -lr_fn(s)))
         return optax.chain(*chain), lr_fn
 
@@ -144,9 +151,12 @@ def build_optimizer(params, optim_cfg, total_steps: int, steps_per_epoch: int):
             bool(optim_cfg.get("LR_WARMUP", False)),
             float(optim_cfg.get("DIV_FACTOR", 10.0)),
         )
-        chain.append(optax.trace(decay=float(optim_cfg.get("MOMENTUM", 0.9))))
+        # torch SGD couples wd into the gradient BEFORE the momentum buffer
+        # (d_p += wd*p, then buf = mu*buf + d_p), every param — reference
+        # optimization/__init__.py:15-18
         if wd > 0:
-            chain.append(optax.add_decayed_weights(wd, mask=_decay_mask(params)))
+            chain.append(optax.add_decayed_weights(wd))
+        chain.append(optax.trace(decay=float(optim_cfg.get("MOMENTUM", 0.9))))
         chain.append(optax.scale_by_schedule(lambda s: -lr_fn(s)))
         return optax.chain(*chain), lr_fn
 
