@@ -336,12 +336,18 @@ class DynamicPillarVFE(nn.Module):
         # indices_are_sorted fast path
         segg = (sseg + jnp.arange(b, dtype=jnp.int32)[:, None] * (hw + 1)).reshape(-1)
         # compact canvas write: scatter one row per occupied pillar instead
-        # of one per point (ops/scatter.compact_canvas_max); a run-count
-        # check falls back to the dense scatter when a scene exceeds the cap
+        # of one per point (ops/scatter.compact_canvas_max).  The cap is
+        # PER SAMPLE (occupied-pillar budget + 1 trash run); a run-count
+        # check falls back to the dense scatter when the batch exceeds it
         compact_cap = self.model_cfg.get("COMPACT_CANVAS_CAP", None)
         env_cap = os.environ.get("COM_TPU_COMPACT_CANVAS", "")
         if env_cap:
-            compact_cap = None if env_cap == "0" else int(env_cap)
+            try:
+                compact_cap = None if int(env_cap) == 0 else int(env_cap)
+            except ValueError as e:
+                raise ValueError(
+                    "COM_TPU_COMPACT_CANVAS must be an integer per-sample "
+                    f"run cap (0 disables), got {env_cap!r}") from e
         pooled = None
         for i, out in enumerate(num_filters):
             last = i == len(num_filters) - 1
@@ -362,7 +368,7 @@ class DynamicPillarVFE(nn.Module):
                     from ..ops.scatter import compact_canvas_max
 
                     cc, ok = compact_canvas_max(
-                        x, sseg, hw, int(compact_cap), force)
+                        x, sseg, hw, b * (int(compact_cap) + 1), force)
                     canvas = jax.lax.cond(ok, lambda x: cc, dense, x)
                 else:
                     canvas = dense(x)

@@ -48,9 +48,12 @@ def compact_canvas_max(x, sseg, hw: int, cap: int, force=None):
     compactness on TPU without dynamic shapes.
 
     x: (B, N, C) sorted by sseg per sample; sseg: (B, N) ids in [0, hw]
-    (hw = trash).  Returns (canvas (B*(hw+1), C) with empty rows -inf,
-    ok: scalar bool, False when the scene had more than ``cap`` runs —
-    callers must fall back to the dense scatter to avoid dropping pillars).
+    (hw = trash).  ``cap`` bounds the TOTAL run count across the flattened
+    batch: occupied pillars summed over all B samples plus one trash run
+    per sample (size it as B * (per-scene pillar budget + 1)).  Returns
+    (canvas (B*(hw+1), C) with empty rows -inf, ok: scalar bool — False
+    when the batch had more than ``cap`` runs; callers must fall back to
+    the dense scatter to avoid dropping pillars).
     """
     from .pallas.seg_scan import run_bcast
 
@@ -65,8 +68,10 @@ def compact_canvas_max(x, sseg, hw: int, cap: int, force=None):
     rows = jnp.take(segg, idx, mode="fill", fill_value=b * (hw + 1))
     vals = jnp.take(runmax.reshape(b * n, c), idx, axis=0, mode="fill",
                     fill_value=-jnp.inf)
+    # NOT unique_indices: the cap-minus-runs tail repeats the same OOB fill
+    # row, and the scatter contract makes a violated uniqueness promise UB
     canvas = jnp.full((b * (hw + 1), c), -jnp.inf, x.dtype).at[rows].max(
-        vals, indices_are_sorted=True, unique_indices=True, mode="drop")
+        vals, indices_are_sorted=True, mode="drop")
     return canvas, ok
 
 

@@ -72,6 +72,7 @@ class BatchServer:
         self.stats = ServerStats()
         self._q: queue.Queue = queue.Queue()
         self._stop = object()
+        self._closed = False
         self._thread = threading.Thread(target=self._dispatch, daemon=True)
         self._thread.start()
 
@@ -87,6 +88,8 @@ class BatchServer:
             raise ValueError(
                 f"{points.shape[0]} points exceeds the artifact cap "
                 f"{self.max_points}; re-export with a larger --max_points")
+        if self._closed:
+            raise RuntimeError("BatchServer is closed")
         item = _Item(points)
         self._q.put(item)
         return item.future
@@ -95,17 +98,32 @@ class BatchServer:
         return self.submit(points).result(timeout=timeout)
 
     def close(self):
+        self._closed = True
         self._q.put(self._stop)
         self._thread.join(timeout=30.0)
+        # fail any request that raced past the closed check or was queued
+        # behind the stop sentinel — a never-resolved future would block
+        # its caller for the full timeout
+        while True:
+            try:
+                item = self._q.get_nowait()
+            except queue.Empty:
+                break
+            if item is not self._stop and not item.future.done():
+                item.future.set_exception(RuntimeError("BatchServer closed"))
 
     # -- dispatch side ----------------------------------------------------
     def _collect(self):
         """Block for the first item, then fill up to batch_size within the
-        wait budget.  Returns (items, saw_stop)."""
+        wait budget.  Returns (items, saw_stop, wait_ms) where wait_ms is
+        the batching wait measured from the FIRST item's arrival (queue
+        idle time before it does not count)."""
         first = self._q.get()
         if first is self._stop:
-            return [], True
-        items, deadline = [first], time.monotonic() + self.max_wait_s
+            return [], True, 0.0
+        t0 = time.monotonic()
+        items, deadline = [first], t0 + self.max_wait_s
+        stop = False
         while len(items) < self.batch_size:
             left = deadline - time.monotonic()
             if left <= 0:
@@ -115,16 +133,16 @@ class BatchServer:
             except queue.Empty:
                 break
             if nxt is self._stop:
-                return items, True
+                stop = True
+                break
             items.append(nxt)
-        return items, False
+        return items, stop, (time.monotonic() - t0) * 1e3
 
     def _dispatch(self):
         while True:
-            t0 = time.monotonic()
-            items, stop = self._collect()
+            items, stop, wait_ms = self._collect()
             if items:
-                self.stats.wait_ms_total += (time.monotonic() - t0) * 1e3
+                self.stats.wait_ms_total += wait_ms
                 try:
                     self._run_batch(items)
                 except BaseException as e:  # resolve, don't kill the thread

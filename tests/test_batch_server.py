@@ -102,6 +102,37 @@ def test_partial_batch_and_validation(tiny_model):
         srv.close()
 
 
+def test_close_fails_pending_and_rejects_new(tiny_model):
+    run, manifest, meta = tiny_model
+    srv = BatchServer(run, manifest["input_spec"], max_wait_ms=1.0)
+    srv.close()
+    with pytest.raises(RuntimeError, match="closed"):
+        srv.submit(_scene(np.random.RandomState(3), meta, 16))
+    # a future stuck behind the stop sentinel resolves with an error,
+    # not a silent hang
+    srv2 = BatchServer(run, manifest["input_spec"], max_wait_ms=1.0)
+    srv2._q.put(srv2._stop)
+    item_future = None
+    try:
+        srv2._closed = False
+        item_future = srv2.submit(_scene(np.random.RandomState(4), meta, 16))
+    finally:
+        srv2.close()
+    with pytest.raises(RuntimeError):
+        item_future.result(timeout=10)
+
+
+def test_wait_stat_excludes_idle_time(tiny_model):
+    run, manifest, meta = tiny_model
+    srv = BatchServer(run, manifest["input_spec"], max_wait_ms=5.0)
+    try:
+        time.sleep(0.5)  # idle time before the request must not count
+        srv.infer(_scene(np.random.RandomState(5), meta, 16))
+        assert srv.stats.wait_ms_total < 400.0
+    finally:
+        srv.close()
+
+
 def test_http_server_roundtrip(tiny_model, tmp_path):
     """Drive tools/serve.py end-to-end over a real socket (CPU artifact)."""
     from com_tpu.utils.serving import export_eval_step, write_artifact

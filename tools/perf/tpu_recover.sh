@@ -51,8 +51,8 @@ timeout 1800 python bench.py > "$OUT/bench_$TS.json" 2> "$OUT/bench_$TS.err" \
   || echo "bench FAILED" >> "$OUT/bench_$TS.err"
 cat "$OUT/bench_$TS.json"
 
-echo "[4.5/5] bench.py with compact canvas scatter..."
-COM_TPU_COMPACT_CANVAS=65536 timeout 1800 python bench.py \
+echo "[4.5/5] bench.py with compact canvas scatter (per-sample run cap)..."
+COM_TPU_COMPACT_CANVAS=40960 timeout 1800 python bench.py \
   > "$OUT/bench_compact_$TS.json" 2> "$OUT/bench_compact_$TS.err" \
   || echo "bench compact FAILED" >> "$OUT/bench_compact_$TS.err"
 cat "$OUT/bench_compact_$TS.json"

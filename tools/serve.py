@@ -84,11 +84,21 @@ def main():
             if len(raw) % (4 * nf):
                 return self._json(400, {
                     "error": f"body must be float32 (n, {nf}) bytes"})
+            hdr_nf = self.headers.get("X-Num-Feats")
+            if hdr_nf is not None and hdr_nf != str(nf):
+                return self._json(400, {
+                    "error": f"X-Num-Feats={hdr_nf} but the artifact "
+                             f"expects {nf} features per point"})
             pts = np.frombuffer(raw, np.float32).reshape(-1, nf)
             try:
                 out = server.infer(pts)
             except ValueError as e:
                 return self._json(400, {"error": str(e)})
+            except TimeoutError:
+                return self._json(503, {"error": "inference queue timed out"})
+            except Exception as e:  # surface as JSON, not a dropped socket
+                return self._json(500, {
+                    "error": f"{type(e).__name__}: {e}"})
             self._json(200, {
                 "boxes": out["boxes"].tolist(),
                 "scores": out["scores"].tolist(),
