@@ -131,7 +131,14 @@ def compute_waymo_ap(det_annos, infos, class_names, distance_thresh=100.0):
         {
             "gt_boxes_lidar": info["annos"]["gt_boxes_lidar"],
             "name": info["annos"]["name"],
-            "difficulty": info["annos"].get("difficulty"),
+            # don't insert a None key: assemble_gt_arrays defaults an
+            # ABSENT difficulty to zeros (waymo_dataset.py stores infos
+            # without it on some paths)
+            **(
+                {"difficulty": info["annos"]["difficulty"]}
+                if info["annos"].get("difficulty") is not None
+                else {}
+            ),
             **(
                 {"num_points_in_gt": info["annos"]["num_points_in_gt"]}
                 if "num_points_in_gt" in info["annos"]

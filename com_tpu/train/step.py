@@ -46,13 +46,17 @@ def _is_curriculum_head(model_cfg):
     return "LOSS_CURRICULUM" in model_cfg.get("DENSE_HEAD", {})
 
 
-_VEHICLE_NAMES = ("Vehicle", "Car", "Truck", "Bus")
+_VEHICLE_NAMES = ("vehicle", "car", "truck", "bus", "van", "trailer",
+                  "construction_vehicle")
 
 
 def vehicle_class_ids(class_names):
-    """Global 1-based ids of classes using the 96-group vehicle scheme."""
+    """Global 1-based ids of classes using the 96-group vehicle scheme.
+
+    Case-insensitive: Waymo/KITTI capitalize (Vehicle, Car) while the
+    nuScenes/Lyft taxonomies are lowercase (car, truck, bus, ...)."""
     return tuple(i + 1 for i, n in enumerate(class_names)
-                 if n in _VEHICLE_NAMES)
+                 if str(n).lower() in _VEHICLE_NAMES)
 
 
 def conf_shape_for(model_cfg, class_names):
@@ -380,8 +384,9 @@ def device_batch_keys(model_cfg) -> set:
     if model_cfg.get("BACKBONE_3D", {}).get("USE_IMG"):
         # focal multimodal fusion: image features gathered at projected
         # voxel centers, with the world augs reversed
-        keys |= {"images", "trans_lidar_to_cam", "trans_cam_to_img",
-                 "noise_rot", "noise_scale", "flip_x", "flip_y"}
+        keys |= {"images", "image_shape", "trans_lidar_to_cam",
+                 "trans_cam_to_img", "noise_rot", "noise_scale",
+                 "flip_x", "flip_y"}
     return keys
 
 

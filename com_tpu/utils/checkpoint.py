@@ -66,23 +66,54 @@ def save_latest(state, ckpt_dir, epoch: int, it: int,
     return path
 
 
+def _template_from_metadata(md):
+    """Zero-value restore template from an orbax metadata subtree (no data
+    read).  Arrays -> np.zeros of the stored shape/dtype, scalars/strings ->
+    typed placeholders."""
+    import numpy as np
+
+    if hasattr(md, "items"):
+        return {k: _template_from_metadata(v) for k, v in md.items()}
+    shape = getattr(md, "shape", None)
+    dtype = getattr(md, "dtype", None)
+    if shape is not None and dtype is not None:
+        return np.zeros(shape, dtype)
+    if type(md).__name__ == "StringMetadata":
+        return ""
+    if dtype is not None:
+        return np.dtype(dtype).type(0).item()
+    return 0
+
+
 def load_checkpoint(path, target_state=None):
     ckptr = ocp.PyTreeCheckpointer()
-    raw = ckptr.restore(Path(path).absolute())
+    path = Path(path).absolute()
     if target_state is None:
-        return raw
-    # restore the train state against the typed template (TrainState pytree,
-    # correct dtypes/shardings); any extra payload keys the checkpoint
-    # carries (e.g. COM's "sampler" confidences) ride through from the raw
-    # read — a {state, meta}-only template would structure-mismatch them
-    # and silently degrade the whole payload to raw dicts (the rehearsal's
-    # resume-step failure mode)
-    template = dict(raw)
-    template["state"] = target_state
+        return ckptr.restore(path)
+    # Restore the train state against the typed template (TrainState pytree,
+    # correct dtypes/shardings).  Extra payload keys the checkpoint carries
+    # (e.g. COM's "sampler" confidences, "meta") must appear in the template
+    # too — a {state}-only template would structure-mismatch them and
+    # silently degrade the whole payload to raw dicts (the rehearsal's
+    # resume-step failure mode).  Their templates come from the checkpoint
+    # METADATA, so the multi-GB payload is read exactly once.
     try:
-        return ckptr.restore(Path(path).absolute(), item=template)
+        item_md = ckptr.metadata(path).item_metadata
+        template = {
+            k: target_state if k == "state" else _template_from_metadata(v)
+            for k, v in item_md.items()
+        }
+        return ckptr.restore(path, item=template)
     except Exception:
-        return raw
+        # metadata path unavailable (older orbax / foreign checkpoint):
+        # fall back to raw read + typed re-read
+        raw = ckptr.restore(path)
+        template = dict(raw)
+        template["state"] = target_state
+        try:
+            return ckptr.restore(path, item=template)
+        except Exception:
+            return raw
 
 
 def load_params_only(path, state, logger=None):

@@ -23,6 +23,10 @@ def test_conf_shape_for_class_sets():
     assert conf_shape_for({}, ["Car"]) == (1, 96)
     assert conf_shape_for({}, ["Pedestrian"]) == (1, 15)
     assert conf_shape_for({}, ["Cyclist"]) == (1, 15)
+    # nuScenes/Lyft taxonomies are lowercase — vehicle matching must be
+    # case-insensitive or cars silently fall into the pedestrian scheme
+    assert conf_shape_for({}, ["car"]) == (1, 96)
+    assert vehicle_class_ids(["car", "pedestrian", "bus"]) == (1, 3)
 
 
 def test_cluster_groups_single_class_pedestrian():

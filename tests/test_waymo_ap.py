@@ -220,3 +220,14 @@ def test_dataset_fallback_path():
     )
     assert "APH" in msg
     assert result["OBJECT_TYPE_TYPE_VEHICLE_LEVEL_2/APH"] == pytest.approx(1.0)
+
+
+def test_missing_difficulty_defaults_to_zero():
+    """Infos whose annos carry no per-object difficulty (a legal state —
+    waymo_dataset.py defaults it to zeros) must evaluate, not crash on a
+    None entry defeating the zeros default."""
+    info = _info([BOX], ["Vehicle"], [20])
+    del info["annos"]["difficulty"]
+    dets = [_det([BOX], ["Vehicle"], [0.9])]
+    _, d = compute_waymo_ap(dets, [info], ["Vehicle"])
+    assert d["OBJECT_TYPE_TYPE_VEHICLE_LEVEL_1/AP"] == pytest.approx(1.0)
