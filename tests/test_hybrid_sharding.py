@@ -129,3 +129,28 @@ def test_hybrid_step_matches_single_device(spatial, model):
     np.testing.assert_allclose(
         np.asarray(metrics["confidence_sum"]),
         np.asarray(ref["confidence_sum"]), rtol=5e-3, atol=1e-5)
+
+
+def test_hybrid_step_compact_canvas_matches_dense(monkeypatch):
+    """The compact canvas scatter (COM_TPU_COMPACT_CANVAS) must reproduce
+    the dense-path loss under a hybrid data x spatial x model mesh — the
+    run-compaction flattens the batch axis, so this guards against the
+    mesh reintroducing gathers or shard-local run miscounts."""
+    # oracle: dense path, single device (deterministic _setup)
+    step, state, _ = _setup(curriculum=True)
+    rng = np.random.RandomState(1)
+    big = synthetic_batch(rng, b=2)
+    _, ref = step(state, big, 0)
+    ref_loss = float(ref["loss"])
+
+    monkeypatch.setenv("COM_TPU_COMPACT_CANVAS", "4096")
+    step2, state2, _ = _setup(curriculum=True)  # fresh trace reads the env
+    mesh = make_mesh(spatial=2, model=2)
+    shmod.activate(mesh)
+    with mesh:
+        sb = shard_batch(big, mesh)
+        st = shard_state(state2, mesh)
+        st, metrics = step2(st, sb, 0)
+        loss = float(metrics["loss"])
+    assert np.isfinite(loss)
+    np.testing.assert_allclose(loss, ref_loss, rtol=5e-4)
