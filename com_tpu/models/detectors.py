@@ -42,18 +42,26 @@ class DatasetMeta:
 
 def decode_center_proposals(batch, dh_cfg, meta, k: int = 512):
     """Decode per-head top-k boxes from a CenterHead's pred_dicts into flat
-    (boxes, scores, labels) proposal candidates (fixed shapes, no NMS —
-    callers apply proposal_layer / top-k)."""
+    (boxes, scores, labels, valid) proposal candidates (fixed shapes, no
+    NMS — callers apply proposal_layer / top-k)."""
     import jax.numpy as jnp
 
     from .dense_heads.center_head import decode_center_boxes
 
     stride = int(dh_cfg["TARGET_ASSIGNER_CONFIG"].get("FEATURE_MAP_STRIDE", 1))
     class_names = list(meta.class_names)
-    bx, sc, lb = [], [], []
+    bx, sc, lb, vd = [], [], [], []
     for pred_dict, names in zip(batch["pred_dicts"],
                                 dh_cfg["CLASS_NAMES_EACH_HEAD"]):
-        ids = tuple(class_names.index(n) + 1 for n in names if n in class_names)
+        missing = [n for n in names if n not in class_names]
+        if missing:
+            # a silent drop would shorten the label map while the heatmap
+            # keeps len(names) channels — the clamped OOB gather would then
+            # mislabel every detection of the dropped channel
+            raise ValueError(
+                f"CLASS_NAMES_EACH_HEAD entries {missing} are not in the "
+                f"dataset CLASS_NAMES {class_names}")
+        ids = tuple(class_names.index(n) + 1 for n in names)
         hm = pred_dict["hm"]
         k_eff = min(k, int(hm.shape[1] * hm.shape[2] * hm.shape[3]))
         boxes, scores, labels, valid = decode_center_boxes(
@@ -63,8 +71,9 @@ def decode_center_proposals(batch, dh_cfg, meta, k: int = 512):
         bx.append(boxes)
         sc.append(scores * valid.astype(scores.dtype))
         lb.append(labels)
+        vd.append(valid)
     return (jnp.concatenate(bx, axis=1), jnp.concatenate(sc, axis=1),
-            jnp.concatenate(lb, axis=1))
+            jnp.concatenate(lb, axis=1), jnp.concatenate(vd, axis=1))
 
 
 class Detector3D(nn.Module):
@@ -206,7 +215,10 @@ class PVRCNN(Detector3D):
     def _proposals(self, batch, train: bool):
         """Decode first-stage boxes into fixed-size proposals with real
         proposal-stage NMS (roi_head_template.py proposal_layer semantics:
-        score top-k prefilter, rotated-BEV NMS, NMS_POST_MAXSIZE rois)."""
+        score top-k prefilter, rotated-BEV NMS, NMS_POST_MAXSIZE rois).
+
+        Returns (rois, roi_scores, roi_labels, roi_valid): padded/suppressed
+        slots carry roi_valid=False and must not surface as detections."""
         import jax
         import jax.numpy as jnp
 
@@ -222,33 +234,96 @@ class PVRCNN(Detector3D):
                 head_cfg, list(self.meta.class_names), self.meta.grid_size,
                 self.meta.point_cloud_range,
             )
+            # honor the config's coder like the train loss and eval do —
+            # a default 7-dim coder would mis-reshape sincos/code_size-9
+            # head outputs (detector3d_template generate_predicted_boxes)
+            coder_cfg = head_cfg.get("TARGET_ASSIGNER_CONFIG", {}).get(
+                "BOX_CODER_CONFIG", {})
+            coder = ResidualCoder(
+                code_size=int(coder_cfg.get("code_size", 7)),
+                encode_angle_by_sincos=bool(
+                    coder_cfg.get("encode_angle_by_sincos", False)),
+            )
             boxes, scores, labels = decode_anchor_boxes(
                 batch, jnp.asarray(anchors_flat), None,
-                len(self.meta.class_names), ResidualCoder(),
+                len(self.meta.class_names), coder,
                 dir_cfg=head_cfg if head_cfg.get("USE_DIRECTION_CLASSIFIER") else None,
             )
+            valid = jnp.ones(scores.shape, bool)  # every anchor is a real box
         else:
             # CenterHead RPN (pv_rcnn_with_centerhead_rpn.yaml /
             # voxel_rcnn_with_centerhead_dyn_voxel.yaml compositions)
-            boxes, scores, labels = decode_center_proposals(
+            boxes, scores, labels, valid = decode_center_proposals(
                 batch, head_cfg, self.meta)
         boxes = jax.lax.stop_gradient(boxes)
         scores = jax.lax.stop_gradient(scores)
         if "NMS_THRESH" in nms_cfg:
-            rois, roi_scores, roi_labels, _ = proposal_layer(
-                boxes, scores, labels,
+            return proposal_layer(
+                boxes, jnp.where(valid, scores, -jnp.inf), labels,
                 nms_pre=min(int(nms_cfg.get("NMS_PRE_MAXSIZE", 4096)),
                             int(boxes.shape[1])),
                 nms_post=int(nms_cfg.get("NMS_POST_MAXSIZE", 512)),
                 nms_thresh=float(nms_cfg["NMS_THRESH"]),
                 use_fast_nms=nms_cfg.get("NMS_TYPE") == "fast_nms",
             )
-            return rois, roi_scores, roi_labels
         num_p = min(int(nms_cfg.get("TRAIN_PRE" if train else "TEST_PRE", 512)),
                     int(scores.shape[1]))
-        top, idx = jax.lax.top_k(scores, num_p)
+        top, idx = jax.lax.top_k(jnp.where(valid, scores, -jnp.inf), num_p)
         take = jax.vmap(lambda a, i: a[i])
-        return take(boxes, idx), top, take(labels, idx)
+        roi_valid = jnp.isfinite(top)
+        return (take(boxes, idx), jnp.where(roi_valid, top, 0.0),
+                take(labels, idx), roi_valid)
+
+    def _stage2_rois(self, batch, train: bool, eval_topk: int | None = None,
+                     proposals=None):
+        """Shared second-stage RoI flow for every two-stage detector
+        (factored from the per-detector copies): proposals, then train-time
+        target assignment (random fg/bg subsampling) or eval-time RoI
+        selection.  Sets batch[rois / roi_scores / roi_labels / roi_valid /
+        roi_targets].  ``proposals`` overrides self._proposals for heads
+        that generate their own (PointRCNN's per-point proposals)."""
+        import jax
+        import jax.numpy as jnp
+
+        from .roi_heads.roi_targets import assign_roi_targets
+
+        rois, roi_scores, roi_labels, roi_valid = (
+            proposals if proposals is not None
+            else self._proposals(batch, train))
+        # suppressed slots can carry -inf ranking scores; keep downstream
+        # arithmetic finite (validity rides in roi_valid)
+        roi_scores = jnp.where(roi_valid, roi_scores, 0.0)
+        if train and "gt_boxes" in batch:
+            roi_cfg = self.model_cfg.get("ROI_HEAD", {}).get("TARGET_CONFIG", {})
+            targets = assign_roi_targets(
+                rois, roi_scores, roi_labels, roi_valid, batch["gt_boxes"],
+                roi_per_image=int(roi_cfg.get("ROI_PER_IMAGE", 128)),
+                fg_ratio=float(roi_cfg.get("FG_RATIO", 0.5)),
+                reg_fg_thresh=float(roi_cfg.get("REG_FG_THRESH", 0.55)),
+                cls_fg_thresh=float(roi_cfg.get("CLS_FG_THRESH", 0.75)),
+                cls_bg_thresh=float(roi_cfg.get("CLS_BG_THRESH", 0.25)),
+                cls_bg_thresh_lo=float(roi_cfg.get("CLS_BG_THRESH_LO", 0.1)),
+                hard_bg_ratio=float(roi_cfg.get("HARD_BG_RATIO", 0.8)),
+                rng=(self.make_rng("roi_sampling")
+                     if self.has_rng("roi_sampling") else None),
+            )
+            batch["roi_targets"] = targets
+            batch["rois"] = targets.rois
+            return batch
+        if eval_topk is not None:
+            k = min(int(self.model_cfg.get("ROI_HEAD", {}).get("NMS_CONFIG", {})
+                        .get("TEST_POST", eval_topk)), int(roi_scores.shape[1]))
+            top, idx = jax.lax.top_k(
+                jnp.where(roi_valid, roi_scores, -jnp.inf), k)
+            take = jax.vmap(lambda a, i: a[i])
+            rois, roi_labels = take(rois, idx), take(roi_labels, idx)
+            roi_valid = jnp.isfinite(top)
+            roi_scores = jnp.where(roi_valid, top, 0.0)
+        batch["rois"] = rois
+        batch["roi_scores"] = roi_scores
+        batch["roi_labels"] = roi_labels
+        batch["roi_valid"] = roi_valid
+        return batch
 
     @nn.compact
     def __call__(self, batch, train: bool = True):
@@ -266,38 +341,7 @@ class PVRCNN(Detector3D):
 
             batch = PointHeadSimple(model_cfg=pnt_cfg, name="point_head")(batch, train)
 
-        rois, roi_scores, roi_labels = self._proposals(batch, train)
-        if train and "gt_boxes" in batch:
-            import jax.numpy as jnp
-
-            from .roi_heads.roi_targets import assign_roi_targets
-
-            roi_cfg = self.model_cfg.get("ROI_HEAD", {}).get("TARGET_CONFIG", {})
-            targets = assign_roi_targets(
-                rois, roi_scores, roi_labels,
-                jnp.ones(rois.shape[:2], bool), batch["gt_boxes"],
-                roi_per_image=int(roi_cfg.get("ROI_PER_IMAGE", 128)),
-                fg_ratio=float(roi_cfg.get("FG_RATIO", 0.5)),
-                reg_fg_thresh=float(roi_cfg.get("REG_FG_THRESH", 0.55)),
-                cls_fg_thresh=float(roi_cfg.get("CLS_FG_THRESH", 0.75)),
-                cls_bg_thresh=float(roi_cfg.get("CLS_BG_THRESH", 0.25)),
-                cls_bg_thresh_lo=float(roi_cfg.get("CLS_BG_THRESH_LO", 0.1)),
-                hard_bg_ratio=float(roi_cfg.get("HARD_BG_RATIO", 0.8)),
-                rng=(self.make_rng("roi_sampling")
-                     if self.has_rng("roi_sampling") else None),
-            )
-            batch["roi_targets"] = targets
-            batch["rois"] = targets.rois
-        else:
-            k = min(int(self.model_cfg.get("ROI_HEAD", {}).get("NMS_CONFIG", {})
-                        .get("TEST_POST", 128)), int(roi_scores.shape[1]))
-            import jax
-
-            top, idx = jax.lax.top_k(roi_scores, k)
-            take = jax.vmap(lambda a, i: a[i])
-            batch["rois"] = take(rois, idx)
-            batch["roi_scores"] = top
-            batch["roi_labels"] = take(roi_labels, idx)
+        batch = self._stage2_rois(batch, train, eval_topk=128)
         batch = self._build_roi_head()(batch, train)
         return batch
 
@@ -324,30 +368,7 @@ class PVRCNNPlusPlus(PVRCNN):
         batch = self._build_dense_head()(batch, train)
 
         # proposals first (pv_rcnn_plusplus.py:16-27)
-        rois, roi_scores, roi_labels = self._proposals(batch, train)
-        if train and "gt_boxes" in batch:
-            from .roi_heads.roi_targets import assign_roi_targets
-
-            roi_cfg = self.model_cfg.get("ROI_HEAD", {}).get("TARGET_CONFIG", {})
-            targets = assign_roi_targets(
-                rois, roi_scores, roi_labels,
-                jnp.ones(rois.shape[:2], bool), batch["gt_boxes"],
-                roi_per_image=int(roi_cfg.get("ROI_PER_IMAGE", 128)),
-                fg_ratio=float(roi_cfg.get("FG_RATIO", 0.5)),
-                reg_fg_thresh=float(roi_cfg.get("REG_FG_THRESH", 0.55)),
-                cls_fg_thresh=float(roi_cfg.get("CLS_FG_THRESH", 0.75)),
-                cls_bg_thresh=float(roi_cfg.get("CLS_BG_THRESH", 0.25)),
-                cls_bg_thresh_lo=float(roi_cfg.get("CLS_BG_THRESH_LO", 0.1)),
-                hard_bg_ratio=float(roi_cfg.get("HARD_BG_RATIO", 0.8)),
-                rng=(self.make_rng("roi_sampling")
-                     if self.has_rng("roi_sampling") else None),
-            )
-            batch["roi_targets"] = targets
-            batch["rois"] = targets.rois
-        else:
-            batch["rois"] = rois
-            batch["roi_scores"] = roi_scores
-            batch["roi_labels"] = roi_labels
+        batch = self._stage2_rois(batch, train)
 
         batch = self._build_pfe()(batch, train)  # SPC sampling sees rois
 
@@ -375,8 +396,10 @@ class CaDDN(Detector3D):
 class SECONDNetIoU(PVRCNN):
     """SECOND + BEV-pooled IoU rescoring head (detectors/second_net_iou.py):
     SECOND backbone + anchor head proposals, then SECONDHead predicts an IoU
-    per RoI from rotated RoI-aligned BEV features; eval fuses IoU and cls
-    scores (fuse_scores_by_npoints / SCORE_BY_CLASS)."""
+    per RoI from rotated RoI-aligned BEV features.  Eval ranks by
+    NMS_CONFIG.SCORE_TYPE (train/eval.py _fused_scores): 'iou' (reference
+    default), 'cls', 'weighted_iou_cls', 'num_pts_iou_cls', or
+    'score_by_class'."""
 
     @nn.compact
     def __call__(self, batch, train: bool = True):
@@ -390,32 +413,7 @@ class SECONDNetIoU(PVRCNN):
         batch = self._build_backbone2d(batch["spatial_features"].shape[-1])(batch, train)
         batch = self._build_dense_head()(batch, train)
 
-        rois, roi_scores, roi_labels = self._proposals(batch, train)
-        if train and "gt_boxes" in batch:
-            import jax.numpy as jnp
-
-            from .roi_heads.roi_targets import assign_roi_targets
-
-            roi_cfg = self.model_cfg.get("ROI_HEAD", {}).get("TARGET_CONFIG", {})
-            targets = assign_roi_targets(
-                rois, roi_scores, roi_labels,
-                jnp.ones(rois.shape[:2], bool), batch["gt_boxes"],
-                roi_per_image=int(roi_cfg.get("ROI_PER_IMAGE", 128)),
-                fg_ratio=float(roi_cfg.get("FG_RATIO", 0.5)),
-                reg_fg_thresh=float(roi_cfg.get("REG_FG_THRESH", 0.55)),
-                cls_fg_thresh=float(roi_cfg.get("CLS_FG_THRESH", 0.75)),
-                cls_bg_thresh=float(roi_cfg.get("CLS_BG_THRESH", 0.25)),
-                cls_bg_thresh_lo=float(roi_cfg.get("CLS_BG_THRESH_LO", 0.1)),
-                hard_bg_ratio=float(roi_cfg.get("HARD_BG_RATIO", 0.8)),
-                rng=(self.make_rng("roi_sampling")
-                     if self.has_rng("roi_sampling") else None),
-            )
-            batch["roi_targets"] = targets
-            batch["rois"] = targets.rois
-        else:
-            batch["rois"] = rois
-            batch["roi_scores"] = roi_scores
-            batch["roi_labels"] = roi_labels
+        batch = self._stage2_rois(batch, train)
 
         head_cfg = self.model_cfg["ROI_HEAD"]
         head = ROI_HEADS.get(head_cfg["NAME"])(
@@ -449,32 +447,7 @@ class PartA2Net(PVRCNN):
         batch = PointIntraPartOffsetHead(
             model_cfg=pnt_cfg, num_class=1, name="point_head")(batch, train)
 
-        rois, roi_scores, roi_labels = self._proposals(batch, train)
-        if train and "gt_boxes" in batch:
-            import jax.numpy as jnp
-
-            from .roi_heads.roi_targets import assign_roi_targets
-
-            roi_cfg = self.model_cfg.get("ROI_HEAD", {}).get("TARGET_CONFIG", {})
-            targets = assign_roi_targets(
-                rois, roi_scores, roi_labels,
-                jnp.ones(rois.shape[:2], bool), batch["gt_boxes"],
-                roi_per_image=int(roi_cfg.get("ROI_PER_IMAGE", 128)),
-                fg_ratio=float(roi_cfg.get("FG_RATIO", 0.5)),
-                reg_fg_thresh=float(roi_cfg.get("REG_FG_THRESH", 0.55)),
-                cls_fg_thresh=float(roi_cfg.get("CLS_FG_THRESH", 0.75)),
-                cls_bg_thresh=float(roi_cfg.get("CLS_BG_THRESH", 0.25)),
-                cls_bg_thresh_lo=float(roi_cfg.get("CLS_BG_THRESH_LO", 0.1)),
-                hard_bg_ratio=float(roi_cfg.get("HARD_BG_RATIO", 0.8)),
-                rng=(self.make_rng("roi_sampling")
-                     if self.has_rng("roi_sampling") else None),
-            )
-            batch["roi_targets"] = targets
-            batch["rois"] = targets.rois
-        else:
-            batch["rois"] = rois
-            batch["roi_scores"] = roi_scores
-            batch["roi_labels"] = roi_labels
+        batch = self._stage2_rois(batch, train)
 
         head_cfg = self.model_cfg["ROI_HEAD"]
         head = ROI_HEADS.get(head_cfg["NAME"])(
@@ -503,30 +476,7 @@ class VoxelRCNN(PVRCNN):
         batch = self._build_backbone2d(batch["spatial_features"].shape[-1])(batch, train)
         batch = self._build_dense_head()(batch, train)
 
-        rois, roi_scores, roi_labels = self._proposals(batch, train)
-        if train and "gt_boxes" in batch:
-            from .roi_heads.roi_targets import assign_roi_targets
-
-            roi_cfg = self.model_cfg.get("ROI_HEAD", {}).get("TARGET_CONFIG", {})
-            targets = assign_roi_targets(
-                rois, roi_scores, roi_labels,
-                jnp.ones(rois.shape[:2], bool), batch["gt_boxes"],
-                roi_per_image=int(roi_cfg.get("ROI_PER_IMAGE", 128)),
-                fg_ratio=float(roi_cfg.get("FG_RATIO", 0.5)),
-                reg_fg_thresh=float(roi_cfg.get("REG_FG_THRESH", 0.55)),
-                cls_fg_thresh=float(roi_cfg.get("CLS_FG_THRESH", 0.75)),
-                cls_bg_thresh=float(roi_cfg.get("CLS_BG_THRESH", 0.25)),
-                cls_bg_thresh_lo=float(roi_cfg.get("CLS_BG_THRESH_LO", 0.1)),
-                hard_bg_ratio=float(roi_cfg.get("HARD_BG_RATIO", 0.8)),
-                rng=(self.make_rng("roi_sampling")
-                     if self.has_rng("roi_sampling") else None),
-            )
-            batch["roi_targets"] = targets
-            batch["rois"] = targets.rois
-        else:
-            batch["rois"] = rois
-            batch["roi_scores"] = roi_scores
-            batch["roi_labels"] = roi_labels
+        batch = self._stage2_rois(batch, train)
 
         head_cfg = self.model_cfg["ROI_HEAD"]
         head = ROI_HEADS.get(head_cfg["NAME"])(
@@ -578,32 +528,14 @@ class PointRCNN(PVRCNN):
 
         nms_cfg = dict(self.model_cfg.get("ROI_HEAD", {}).get("NMS_CONFIG", {}))
         nms_cfg.update(nms_cfg.get("TRAIN" if train else "TEST", {}))
-        rois, roi_scores, roi_labels, _ = proposal_layer(
+        props = proposal_layer(
             boxes, scores, labels.astype(jnp.int32),
             nms_pre=int(nms_cfg.get("NMS_PRE_MAXSIZE", 4096)),
             nms_post=int(nms_cfg.get("NMS_POST_MAXSIZE", 512)),
             nms_thresh=float(nms_cfg.get("NMS_THRESH", 0.8)),
             use_fast_nms=nms_cfg.get("NMS_TYPE") == "fast_nms",
         )
-        if train and "gt_boxes" in batch:
-            from .roi_heads.roi_targets import assign_roi_targets
-
-            roi_cfg = self.model_cfg.get("ROI_HEAD", {}).get("TARGET_CONFIG", {})
-            targets = assign_roi_targets(
-                rois, roi_scores, roi_labels,
-                jnp.ones(rois.shape[:2], bool), batch["gt_boxes"],
-                roi_per_image=int(roi_cfg.get("ROI_PER_IMAGE", 128)),
-                fg_ratio=float(roi_cfg.get("FG_RATIO", 0.5)),
-                reg_fg_thresh=float(roi_cfg.get("REG_FG_THRESH", 0.55)),
-                cls_fg_thresh=float(roi_cfg.get("CLS_FG_THRESH", 0.6)),
-                cls_bg_thresh=float(roi_cfg.get("CLS_BG_THRESH", 0.45)),
-            )
-            batch["roi_targets"] = targets
-            batch["rois"] = targets.rois
-        else:
-            batch["rois"] = rois
-            batch["roi_scores"] = roi_scores
-            batch["roi_labels"] = roi_labels
+        batch = self._stage2_rois(batch, train, proposals=props)
 
         rh_cfg = self.model_cfg["ROI_HEAD"]
         head = ROI_HEADS.get(rh_cfg["NAME"])(
@@ -698,13 +630,18 @@ class MPPNetE2E(Detector3D):
         if "rois" not in batch:
             # decode fixed-size proposals from the center head's top-k
             num_p = int(head_cfg.get("TARGET_CONFIG", {}).get("ROI_PER_IMAGE", 96))
-            boxes, scores, labels = decode_center_proposals(
+            boxes, scores, labels, valid = decode_center_proposals(
                 batch, self.model_cfg["DENSE_HEAD"], self.meta, k=num_p)
-            top, idx = jax.lax.top_k(scores, min(num_p, int(scores.shape[1])))
+            top, idx = jax.lax.top_k(
+                jnp.where(valid, scores, -jnp.inf),
+                min(num_p, int(scores.shape[1])))
             take = jax.vmap(lambda a, i: a[i])
+            roi_valid = jnp.isfinite(top)
             batch["rois"] = jax.lax.stop_gradient(take(boxes, idx))
-            batch["roi_scores"] = jax.lax.stop_gradient(top)
+            batch["roi_scores"] = jax.lax.stop_gradient(
+                jnp.where(roi_valid, top, 0.0))
             batch["roi_labels"] = take(labels, idx)
+            batch["roi_valid"] = roi_valid
         if "memory_bank" not in batch:
             f = int(head_cfg["Transformer"]["num_frames"])
             g3 = int(head_cfg["Transformer"]["num_proxy_points"])

@@ -53,11 +53,19 @@ def _pairwise_intersection_area(corners_a, corners_b, xp):
     def _inside(pts, poly_c1, poly_c2):
         # pts (N,M,4,2); poly edges c1->c2 (N,M,4,2); convex ccw or cw —
         # a point is inside iff all edge cross products share a sign.
+        # The cross product divided by |edge| is the point's signed distance
+        # to the edge line (meters): a METRIC tolerance keeps a box's own
+        # corners (and exact duplicates) robustly "inside" under f32
+        # rounding, where an absolute epsilon on the raw cross product
+        # (~1e2 magnitudes, ulp ~1e-5) flips with compilation order.
         d = poly_c2 - poly_c1  # (N,M,4,2)
+        elen = xp.sqrt(d[..., 0] ** 2 + d[..., 1] ** 2)[:, :, None, :]
         # (N,M,P,E): point P vs edge E
         rel = pts[:, :, :, None, :] - poly_c1[:, :, None, :, :]
         crs = d[:, :, None, :, 0] * rel[..., 1] - d[:, :, None, :, 1] * rel[..., 0]
-        return (crs >= -1e-8).all(axis=-1) | (crs <= 1e-8).all(axis=-1)
+        dist = crs / xp.clip(elen, 1e-6, None)
+        tol = 1e-4  # 0.1 mm
+        return (dist >= -tol).all(axis=-1) | (dist <= tol).all(axis=-1)
 
     a_pts = xp.broadcast_to(A, (n, m, 4, 2))
     b_pts = xp.broadcast_to(B, (n, m, 4, 2))
@@ -99,21 +107,31 @@ def _pairwise_intersection_area(corners_a, corners_b, xp):
     return xp.where(cnt >= 3, area, 0.0)
 
 
-def boxes_iou_bev(boxes_a, boxes_b, xp=np):
-    """Rotated BEV IoU (N,7)x(M,7) -> (N,M); parity with boxes_bev_iou_cpu."""
+def _clamped_inter(boxes_a, boxes_b, xp):
+    """Intersection areas clamped to min(area_a, area_b).
+
+    Geometrically the intersection can never exceed either box's area; the
+    clamp also neutralizes the degenerate-polygon artifact where a
+    zero-size (padded) box passes every half-plane test and reports a huge
+    bogus intersection (which then divided a clipped union and produced
+    IoU ~1e6, suppressing every real detection in NMS)."""
     ca = boxes_to_corners_bev(boxes_a[:, :7], xp=xp)
     cb = boxes_to_corners_bev(boxes_b[:, :7], xp=xp)
     inter = _pairwise_intersection_area(ca, cb, xp)
     area_a = (boxes_a[:, 3] * boxes_a[:, 4])[:, None]
     area_b = (boxes_b[:, 3] * boxes_b[:, 4])[None, :]
+    return xp.minimum(inter, xp.minimum(area_a, area_b)), area_a, area_b
+
+
+def boxes_iou_bev(boxes_a, boxes_b, xp=np):
+    """Rotated BEV IoU (N,7)x(M,7) -> (N,M); parity with boxes_bev_iou_cpu."""
+    inter, area_a, area_b = _clamped_inter(boxes_a, boxes_b, xp)
     return inter / xp.clip(area_a + area_b - inter, 1e-6, None)
 
 
 def boxes_overlap_bev(boxes_a, boxes_b, xp=np):
     """Raw BEV intersection areas (boxes_overlap_bev_gpu parity)."""
-    ca = boxes_to_corners_bev(boxes_a[:, :7], xp=xp)
-    cb = boxes_to_corners_bev(boxes_b[:, :7], xp=xp)
-    return _pairwise_intersection_area(ca, cb, xp)
+    return _clamped_inter(boxes_a, boxes_b, xp)[0]
 
 
 def boxes_iou3d(boxes_a, boxes_b, xp=np):
@@ -134,10 +152,21 @@ def boxes_iou3d(boxes_a, boxes_b, xp=np):
     return inter / xp.clip(vol_a + vol_b - inter, 1e-6, None)
 
 
+def _nearest_aligned_dims(boxes, xp):
+    """dx/dy swapped to the nearest-90-degree orientation
+    (box_utils.boxes3d_lidar_to_aligned_bev_boxes:314-325: limit_period to
+    [-pi/2, pi/2), swap dims when |angle| >= pi/4)."""
+    rot = boxes[:, 6] - xp.floor(boxes[:, 6] / np.pi + 0.5) * np.pi
+    swap = xp.abs(rot) >= (np.pi / 4)
+    return xp.where(swap[:, None], boxes[:, [4, 3]], boxes[:, [3, 4]])
+
+
 def boxes_iou_aligned_bev(boxes_a, boxes_b, xp=np):
-    """Axis-aligned BEV IoU (ignores heading) — box_utils.boxes3d_nearest_bev_iou."""
-    half_a = boxes_a[:, 3:5] / 2
-    half_b = boxes_b[:, 3:5] / 2
+    """Nearest-axis-aligned BEV IoU — box_utils.boxes3d_nearest_bev_iou
+    parity: each box's footprint snaps to its nearest 90-degree
+    orientation (dims swapped past 45 degrees) before the aligned IoU."""
+    half_a = _nearest_aligned_dims(boxes_a, xp) / 2
+    half_b = _nearest_aligned_dims(boxes_b, xp) / 2
     a_min, a_max = boxes_a[:, 0:2] - half_a, boxes_a[:, 0:2] + half_a
     b_min, b_max = boxes_b[:, 0:2] - half_b, boxes_b[:, 0:2] + half_b
     lt = xp.maximum(a_min[:, None], b_min[None, :])

@@ -47,6 +47,22 @@ def _greedy_suppress(pair_matrix: jax.Array, thresh: float, valid: jax.Array):
     return keep
 
 
+def _self_iou(sb, use_rotated_iou: bool, row_block: int = 512):
+    """(K, K) self-IoU, row-blocked past 1024 candidates.
+
+    The rotated polygon clip materializes (rows, K, 24, 2)-shaped
+    intermediates; at proposal-stage K (4096) that is gigabytes per sample.
+    lax.map over row blocks keeps the live intermediate at
+    (row_block, K, 24, 2) while still emitting the full (K, K) matrix."""
+    k = sb.shape[0]
+    f = boxes_iou_bev if use_rotated_iou else boxes_iou_aligned_bev
+    if k <= 1024 or k % row_block != 0:
+        return f(sb, sb, xp=jnp)
+    blocks = sb.reshape(k // row_block, row_block, sb.shape[-1])
+    rows = jax.lax.map(lambda ba: f(ba, sb, xp=jnp), blocks)
+    return rows.reshape(k, k)
+
+
 def nms_bev(
     boxes: jax.Array,  # (K, 7)
     scores: jax.Array,  # (K,)
@@ -64,10 +80,7 @@ def nms_bev(
     order = jnp.argsort(jnp.where(valid, scores, neg_inf))[::-1]
     sb = boxes[order]
     sv = valid[order]
-    if use_rotated_iou:
-        iou = boxes_iou_bev(sb, sb, xp=jnp)
-    else:
-        iou = boxes_iou_aligned_bev(sb, sb, xp=jnp)
+    iou = _self_iou(sb, use_rotated_iou)
     keep = _greedy_suppress(iou, thresh, sv)
     # stable-select kept candidates in score order, pad to post_max_size
     kept_rank = jnp.where(keep, jnp.cumsum(keep) - 1, k)
@@ -100,14 +113,18 @@ def multi_class_nms_bev(
     neg_inf = jnp.asarray(-jnp.inf, scores.dtype)
     order = jnp.argsort(jnp.where(valid, scores, neg_inf))[::-1]
     sb, sv, sl = boxes[order], valid[order], labels[order]
-    iou = boxes_iou_bev(sb, sb, xp=jnp)
+    iou = _self_iou(sb, True)
     same_cls = sl[:, None] == sl[None, :]
     iou_cls = jnp.where(same_cls, iou, 0.0)
     keep_sorted = _greedy_suppress(iou_cls, thresh, sv & (sl > 0))
     kept = jnp.zeros((k,), bool).at[order].set(keep_sorted)
     keep_scores = jnp.where(kept, scores, -jnp.inf)
+    if k < post_max_size:  # top_k requires k_arg <= size; pad with -inf
+        keep_scores = jnp.concatenate(
+            [keep_scores, jnp.full((post_max_size - k,), -jnp.inf,
+                                   keep_scores.dtype)])
     top, idx = jax.lax.top_k(keep_scores, post_max_size)
-    return idx, jnp.isfinite(top)
+    return jnp.clip(idx, 0, k - 1), jnp.isfinite(top)
 
 
 def fast_nms_bev(
@@ -126,7 +143,7 @@ def fast_nms_bev(
     neg_inf = jnp.asarray(-jnp.inf, scores.dtype)
     order = jnp.argsort(jnp.where(valid, scores, neg_inf))[::-1]
     sb, sv = boxes[order], valid[order]
-    iou = boxes_iou_bev(sb, sb, xp=jnp)
+    iou = _self_iou(sb, True)
     upper = jnp.triu(jnp.ones((k, k), bool), 1)  # [i, j]: i higher than j
     suppressed = ((iou > thresh) & upper & sv[:, None]).any(axis=0)
     keep = sv & ~suppressed
@@ -135,7 +152,9 @@ def fast_nms_bev(
     slots = slots.at[kept_rank].set(jnp.arange(k, dtype=jnp.int32), mode="drop")
     sel_valid = slots < k
     safe = jnp.clip(slots, 0, k - 1)
-    return order[safe], sel_valid
+    # the rank-k sentinel writes of non-kept boxes land in slot k when
+    # post_max_size > K — the count guard invalidates those slots
+    return order[safe], sel_valid & (jnp.arange(post_max_size) < keep.sum())
 
 
 def circle_nms(

@@ -80,6 +80,45 @@ def _make_two_stage_eval_step(net, model_cfg, class_names, meta):
     nms_cfg.update(nms_cfg.get("TEST", {}))
     score_thresh = float(post.get("SCORE_THRESH", 0.1))
     post_max = int(nms_cfg.get("NMS_POST_MAXSIZE", 500))
+    # IoU-head score fusion (second_net_iou.py post_processing:108-147):
+    # rank by the IoU prediction, the first-stage cls score, a fixed blend,
+    # or a per-box point-count blend.  Reference default: 'iou'.
+    score_type = str(nms_cfg.get("SCORE_TYPE", "iou"))
+
+    def _fused_scores(out, batch, iou_scores, labels):
+        if score_type == "iou" or "roi_scores" not in out:
+            return iou_scores
+        cls_scores = out["roi_scores"]  # normalized by the proposal decode
+        if score_type == "cls":
+            return cls_scores
+        if score_type == "weighted_iou_cls":
+            w = nms_cfg.get("SCORE_WEIGHTS", {})
+            return (float(w.get("iou", 0.5)) * iou_scores
+                    + float(w.get("cls", 0.5)) * cls_scores)
+        if score_type == "num_pts_iou_cls":
+            # alpha-blend by points-in-box (cal_scores_by_npoints:38-57)
+            from ..ops.boxes import points_in_rbbox
+
+            th = nms_cfg.get("SCORE_THRESH", {})
+            cls_th = float(th.get("cls", 10.0))
+            iou_th = float(th.get("iou", 100.0))
+            pts, msk = batch["points"][..., :3], batch["points_mask"]
+
+            def count(p, m, bx):
+                inb = points_in_rbbox(p, bx[:, :7], xp=jnp)  # (N, K)
+                return (inb & m[:, None]).sum(axis=0).astype(iou_scores.dtype)
+
+            npts = jax.vmap(count)(pts, msk, out["batch_box_preds"])
+            alpha = jnp.clip((npts - cls_th) / (iou_th - cls_th), 0.0, 1.0)
+            return (1 - alpha) * cls_scores + alpha * iou_scores
+        if score_type == "score_by_class":
+            by_class = dict(nms_cfg.get("SCORE_BY_CLASS", {}))
+            use_iou = jnp.zeros(labels.shape, bool)
+            for i, name in enumerate(class_names):
+                if str(by_class.get(name, "iou")) == "iou":
+                    use_iou = use_iou | (labels == i + 1)
+            return jnp.where(use_iou, iou_scores, cls_scores)
+        raise NotImplementedError(f"SCORE_TYPE {score_type}")
 
     def eval_step(variables, batch):
         out = net.apply(variables, dict(batch), train=False)
@@ -105,15 +144,22 @@ def _make_two_stage_eval_step(net, model_cfg, class_names, meta):
         if labels is None:
             labels = cls_labels if cls_labels is not None else jnp.ones(
                 scores.shape, jnp.int32)
+        labels = labels.astype(jnp.int32)
+        scores = _fused_scores(out, batch, scores, labels)
+        # padded / NMS-suppressed roi slots must never surface as
+        # detections, however confident the rcnn head is about them
+        roi_valid = out.get("roi_valid")
+        if roi_valid is None:
+            roi_valid = jnp.ones(scores.shape, bool)
 
-        def one(bx, sc, lb):
-            valid = sc > score_thresh
+        def one(bx, sc, lb, rv):
+            valid = (sc > score_thresh) & rv
             sel, sel_valid = nms_bev(
                 bx, sc, valid, float(nms_cfg.get("NMS_THRESH", 0.7)),
                 min(post_max, bx.shape[0]))
             return bx[sel], sc[sel], lb[sel], sel_valid
 
-        return jax.vmap(one)(boxes, scores, labels.astype(jnp.int32))
+        return jax.vmap(one)(boxes, scores, labels, roi_valid)
 
     return eval_step
 

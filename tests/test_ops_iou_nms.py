@@ -164,3 +164,87 @@ def test_pallas_greedy_suppress_interpret_matches_lax():
     keep_pl = np.asarray(greedy_suppress_pallas(
         jnp.asarray((iou > 0.75).astype(np.float32)), valid, interpret=True))
     np.testing.assert_array_equal(keep_ref, keep_pl)
+
+
+def test_zero_padded_boxes_have_zero_iou():
+    """Degenerate (zero-size padded) boxes used to pass every half-plane
+    test and report IoU ~1e6 against real boxes, wiping out whole frames in
+    NMS; the intersection is now clamped to min(area_a, area_b)."""
+    from com_tpu.ops.iou import boxes_iou_bev, boxes_iou3d, boxes_overlap_bev
+
+    real = np.array([[0, 0, 0, 4, 2, 1.5, 0.3]], np.float32)
+    pad = np.zeros((2, 7), np.float32)
+    pad[1, :2] = 50.0
+    for fn in (boxes_iou_bev, boxes_iou3d, boxes_overlap_bev):
+        out = np.asarray(fn(real, pad))
+        assert (out <= 1e-6).all(), (fn.__name__, out)
+        out = np.asarray(fn(pad, pad))
+        assert (out <= 1e-6).all(), (fn.__name__, out)
+    # and IoU can never exceed 1 for any box pair
+    rng = np.random.RandomState(0)
+    a = np.concatenate([rng.uniform(-5, 5, (20, 3)), rng.uniform(0.1, 5, (20, 3)),
+                        rng.uniform(-3, 3, (20, 1))], 1).astype(np.float32)
+    assert np.asarray(boxes_iou_bev(a, a)).max() <= 1.0 + 1e-5
+
+
+def test_fast_nms_padding_slots_invalid():
+    """post_max_size > K: suppressed boxes' sentinel writes land in slot K
+    and used to surface as valid duplicate detections."""
+    from com_tpu.ops.nms import fast_nms_bev
+
+    boxes = jnp.asarray(np.array(
+        [[0, 0, 0, 4, 2, 1.5, 0.0], [0.05, 0, 0, 4, 2, 1.5, 0.0],
+         [20, 0, 0, 4, 2, 1.5, 0.0]], np.float32))
+    scores = jnp.asarray([0.9, 0.8, 0.7])
+    sel, valid = fast_nms_bev(boxes, scores, jnp.ones(3, bool),
+                              thresh=0.5, post_max_size=5)
+    kept = np.asarray(sel)[np.asarray(valid)]
+    assert sorted(kept.tolist()) == [0, 2]  # box 1 suppressed, no duplicates
+
+
+def test_multi_class_nms_post_larger_than_k():
+    """NMS_POST_MAXSIZE above the candidate count used to crash top_k."""
+    from com_tpu.ops.nms import multi_class_nms_bev
+
+    boxes = jnp.asarray(np.array(
+        [[0, 0, 0, 4, 2, 1.5, 0.0], [20, 0, 0, 4, 2, 1.5, 0.0],
+         [0.05, 0, 0, 4, 2, 1.5, 0.0]], np.float32))
+    scores = jnp.asarray([0.9, 0.8, 0.7])
+    labels = jnp.asarray([1, 1, 1])
+    idx, valid = multi_class_nms_bev(boxes, scores, labels, jnp.ones(3, bool),
+                                     num_classes=1, thresh=0.5,
+                                     post_max_size=8)
+    kept = set(np.asarray(idx)[np.asarray(valid)].tolist())
+    assert kept == {0, 1}
+
+
+def test_aligned_bev_iou_nearest_90deg_swap():
+    """boxes3d_nearest_bev_iou parity: a box rotated ~90 degrees swaps its
+    footprint dims before the axis-aligned IoU."""
+    from com_tpu.ops.iou import boxes_iou_aligned_bev
+
+    a = np.array([[0, 0, 0, 4, 2, 1.5, 0.0]], np.float32)
+    b90 = np.array([[0, 0, 0, 4, 2, 1.5, np.pi / 2]], np.float32)
+    # a: 4x2 footprint; b90 snaps to 2x4 -> intersection 2x2=4, union 12
+    got = float(np.asarray(boxes_iou_aligned_bev(a, b90))[0, 0])
+    np.testing.assert_allclose(got, 4.0 / 12.0, rtol=1e-5)
+    # same heading -> unchanged aligned IoU of 1
+    same = float(np.asarray(boxes_iou_aligned_bev(a, a))[0, 0])
+    np.testing.assert_allclose(same, 1.0, rtol=1e-6)
+
+
+def test_rowblocked_self_iou_matches_direct():
+    from com_tpu.ops.nms import _self_iou
+    from com_tpu.ops.iou import boxes_iou_bev
+
+    rng = np.random.RandomState(3)
+    k = 1536  # > 1024 and divisible by 512 -> row-blocked path
+    boxes = np.concatenate([
+        rng.uniform(-30, 30, (k, 3)), rng.uniform(0.5, 5, (k, 3)),
+        rng.uniform(-3, 3, (k, 1))], 1).astype(np.float32)
+    got = np.asarray(_self_iou(jnp.asarray(boxes), True))
+    # same-device oracle: only the row blocking may differ; XLA reassociates
+    # f32 math differently across the two compilations, so allow ~1e-4
+    want = np.asarray(boxes_iou_bev(jnp.asarray(boxes), jnp.asarray(boxes),
+                                    xp=jnp))
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=3e-4)
