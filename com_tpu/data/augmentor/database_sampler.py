@@ -27,7 +27,6 @@ from pathlib import Path
 import numpy as np
 
 from ...ops.boxes import enlarge_box3d, remove_points_in_boxes3d
-from ...ops.iou import boxes_iou_bev
 
 
 class DataBaseSampler:
@@ -382,8 +381,11 @@ class DataBaseSampler:
             gt_boxes2d_int = np.asarray(
                 data_dict.get("gt_boxes2d", np.zeros((0, 4)))
             )[gt_mask].astype(np.int64)
+            # .copy(): these must snapshot the UNPASTED image — views would
+            # read already-pasted sampled-object pixels when an original gt
+            # overlaps a farther pasted crop
             gt_crops2d = [
-                data_dict["images"][b[1]:b[3], b[0]:b[2]]
+                data_dict["images"][b[1]:b[3], b[0]:b[2]].copy()
                 for b in gt_boxes2d_int
             ]
 
@@ -649,10 +651,17 @@ class DataBaseSamplerCOM2(DataBaseSamplerCOM1):
             return norm / norm.sum()
 
         conf = np.asarray(self.confidence_groups)
-        # row lookup tolerant to 1/2/3-class confidence tensors, like the
-        # reference's class_num branches
-        slot = min(self.CLASS_SLOT.get(class_name, 0), conf.shape[0] - 1)
+        # confidence rows follow the ACTIVE class_names order (the loss
+        # accumulates by global class id) — the reference's class_num
+        # branches (database_sampler_curriculum.py:182-230) reduce to
+        # exactly index-within-active-list for every Waymo subset; the
+        # hardcoded Waymo slot only agreed with it by 3-class coincidence
+        active = getattr(self, "class_names", None) or list(self.CLASS_SLOT)
+        slot = active.index(class_name) if class_name in active else 0
+        slot = min(slot, conf.shape[0] - 1)
         confidence = conf[slot][:group_num]
+        # m3/s3 pacing hyperparameters stay indexed by the fixed taxonomy
+        # slot (Pedestrian always m3[1], even single-class — reference :209)
         ci = self.CLASS_SLOT.get(class_name, 0)
         if self.back and self.epoch > 26:
             k = min(int((self.epoch - 26) * self.m3[ci]), group_num - 1)

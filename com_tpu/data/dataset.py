@@ -24,6 +24,31 @@ from .processor import DataProcessor
 GT_SIDE_KEYS = ("num_points_in_gt", "true_object", "occupancy_ratio", "facade_type")
 
 
+class _ThreadLocalRng:
+    """np.random.RandomState facade with one independent state per thread.
+
+    PrefetchLoader prepares items on several worker threads; a single
+    shared RandomState would race the reseed-then-draw pattern and break
+    the advertised per-(seed, epoch, index) determinism whenever
+    num_workers > 1.  Each thread lazily gets its own RandomState (seeded
+    with the base seed) and _reseed_for_item re-seeds only the calling
+    thread's state."""
+
+    def __init__(self, seed: int):
+        self._seed = int(seed)
+        self._tl = threading.local()
+
+    def _state(self) -> np.random.RandomState:
+        rs = getattr(self._tl, "rs", None)
+        if rs is None:
+            rs = np.random.RandomState(self._seed)
+            self._tl.rs = rs
+        return rs
+
+    def __getattr__(self, name):
+        return getattr(self._state(), name)
+
+
 class DatasetTemplate:
     def __init__(self, dataset_cfg, class_names, training=True, root_path=None,
                  logger=None, db_infos=None, seed=None):
@@ -44,7 +69,7 @@ class DatasetTemplate:
         # db indices / world-aug decisions replay the PyTorch run.
         self.seed_parity = bool(
             (dataset_cfg.get("DATA_AUGMENTOR") or {}).get("SEED_PARITY", False))
-        self.rng = np.random if self.seed_parity else np.random.RandomState(self.seed)
+        self.rng = np.random if self.seed_parity else _ThreadLocalRng(self.seed)
 
         self.point_cloud_range = np.asarray(dataset_cfg["POINT_CLOUD_RANGE"], np.float32)
         self.point_feature_encoder = PointFeatureEncoder(dataset_cfg["POINT_FEATURE_ENCODING"])
@@ -175,11 +200,19 @@ class DatasetTemplate:
             out["points_mask"] = mask
 
         if "gt_boxes" in batch and batch["gt_boxes"][0] is not None:
-            width = batch["gt_boxes"][0].shape[1] if len(batch["gt_boxes"][0]) else 8
+            # max width over the batch: an empty (0, W) first sample still
+            # reports its true W, and mixed widths (shouldn't happen) pad up
+            width = max(
+                (np.asarray(g).shape[1] if np.asarray(g).ndim == 2 else 0)
+                for g in batch["gt_boxes"]
+            ) or 8
             gt = np.zeros((bs, self.max_gt, width), np.float32)
             for i, g in enumerate(batch["gt_boxes"]):
+                g = np.asarray(g, np.float32)
+                if g.ndim != 2 or not len(g):
+                    continue
                 n = min(len(g), self.max_gt)
-                gt[i, :n] = g[:n]
+                gt[i, :n, : g.shape[1]] = g[:n]
             out["gt_boxes"] = gt
             for k in GT_SIDE_KEYS:
                 if k in batch:
@@ -297,16 +330,28 @@ class PrefetchLoader:
             order[i : i + self.batch_size]
             for i in range(0, len(order) - (self.batch_size - 1 if self.drop_last else 0), self.batch_size)
         ]
-        q: _queue.Queue = _queue.Queue(maxsize=self.num_workers * 2)
+        # SEED_PARITY routes every draw through the GLOBAL np.random stream
+        # in the reference's sequential call order — concurrent workers
+        # would scramble exactly the order the mode exists to replay
+        workers = 1 if getattr(self.dataset, "seed_parity", False) \
+            else self.num_workers
+        q: _queue.Queue = _queue.Queue(maxsize=workers * 2)
         stop = object()
+        errors: list = []
 
         def worker(batch_indices_list):
-            for idxs in batch_indices_list:
-                samples = [self.dataset[int(i)] for i in idxs]
-                q.put(self.dataset.collate_batch(samples))
-            q.put(stop)
+            try:
+                for idxs in batch_indices_list:
+                    samples = [self.dataset[int(i)] for i in idxs]
+                    q.put(self.dataset.collate_batch(samples))
+            except BaseException as e:  # surfaced in the consumer
+                errors.append(e)
+            finally:
+                # the sentinel must reach the consumer even on failure, or
+                # the training loop blocks on the queue forever
+                q.put(stop)
 
-        shards = [batches[i :: self.num_workers] for i in range(self.num_workers)]
+        shards = [batches[i::workers] for i in range(workers)]
         threads = [
             threading.Thread(target=worker, args=(s,), daemon=True) for s in shards
         ]
@@ -319,6 +364,8 @@ class PrefetchLoader:
                 done += 1
                 continue
             yield item
+        if errors:
+            raise RuntimeError("dataloader worker failed") from errors[0]
 
 
 def build_dataloader(dataset_cfg, class_names, batch_size, dist=False, root_path=None,

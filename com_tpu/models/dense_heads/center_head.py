@@ -131,6 +131,9 @@ def decode_center_boxes(
     hm = jax.nn.sigmoid(pred_dict["hm"])  # (B, H, W, C)
     b, h, w, c = hm.shape
     flat = hm.reshape(b, h * w * c)
+    # clamp here so every caller is safe on small grids (top_k requires
+    # k <= size); callers keep their configured K via the fixed out shape
+    k = min(int(k), h * w * c)
     scores, inds = jax.lax.top_k(flat, k)  # over all classes & cells
     cls = (inds % c).astype(jnp.int32)
     cell = inds // c
