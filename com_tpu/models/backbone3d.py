@@ -106,8 +106,12 @@ class VoxelBackBone8x(nn.Module):
         # spconv pads z by +1 (spconv_backbone.py sparse_shape = grid + [1,0,0])
         grid = (nz + 1, ny, nx)
 
+        # stage caps: strided sites include spconv's odd-coordinate halo
+        # (downsample_sites), so counts shrink slower than 2x per stage on
+        # clustered lidar; overflow beyond a cap is silently dropped in
+        # spatial-key order — size VOXEL_CAPS generously per dataset
         caps = self.model_cfg.get(
-            "VOXEL_CAPS", [v, max(v // 2, 1), max(v // 4, 1), max(v // 8, 1)]
+            "VOXEL_CAPS", [v, v, max(v // 2, 1), max(v // 4, 1)]
         )
         chans = self.model_cfg.get("CHANNELS", [16, 32, 64, 128])
 
@@ -468,8 +472,12 @@ class UNetV2(nn.Module):
         v = x.shape[1]
         nx, ny, nz = (int(g) for g in self.grid_size)
         grid = (nz + 1, ny, nx)
+        # stage caps: strided sites include spconv's odd-coordinate halo
+        # (downsample_sites), so counts shrink slower than 2x per stage on
+        # clustered lidar; overflow beyond a cap is silently dropped in
+        # spatial-key order — size VOXEL_CAPS generously per dataset
         caps = self.model_cfg.get(
-            "VOXEL_CAPS", [v, max(v // 2, 1), max(v // 4, 1), max(v // 8, 1)]
+            "VOXEL_CAPS", [v, v, max(v // 2, 1), max(v // 4, 1)]
         )
         chans = self.model_cfg.get("CHANNELS", [16, 32, 64, 64])
 

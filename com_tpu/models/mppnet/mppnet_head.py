@@ -267,7 +267,7 @@ class MPPNetHead(nn.Module):
             ns = self.pool_nsamples[ri]
 
             def pool_one(xyz, feat, new_xyz, valid):
-                grouped, _, empty = query_and_group(
+                grouped, _, empty, _ = query_and_group(
                     radius, ns, xyz, new_xyz, feat, valid=valid, use_xyz=True
                 )  # (g3, ns, 3+Cg)
                 return grouped, empty

@@ -23,12 +23,17 @@ class PointNetBlock(nn.Module):
     mlps: tuple
 
     @nn.compact
-    def __call__(self, grouped, empty, train: bool):
-        # grouped: (S, K, C)
+    def __call__(self, grouped, empty, train: bool, slot_valid=None):
+        # grouped: (S, K, C); slot_valid (S, K) marks real neighbors so the
+        # BN statistics exclude zeroed/duplicate-padded rows (at minimum,
+        # rows of fully-empty groups)
+        mask = slot_valid
+        if mask is None:
+            mask = jnp.broadcast_to((~empty)[:, None], grouped.shape[:2])
         x = grouped
         for ch in self.mlps:
             x = nn.Dense(ch, use_bias=False)(x)
-            x = MaskedBatchNorm()(x, use_running_average=not train)
+            x = MaskedBatchNorm()(x, mask=mask, use_running_average=not train)
             x = nn.relu(x)
         x = x.max(axis=1)  # (S, C)
         return x * (~empty)[:, None].astype(x.dtype)
@@ -120,14 +125,15 @@ class VoxelSetAbstraction(nn.Module):
             block = PointNetBlock(mlps, name="sa_raw")
 
             def group_raw(p, m, kp):
-                grouped, idx, empty = pn2.query_and_group(
+                grouped, idx, empty, slot = pn2.query_and_group(
                     radius, nsample, p[:, :3], kp, p[:, 3:], valid=m
                 )
-                return grouped, empty
+                return grouped, empty, slot
 
-            grouped, empty = jax.vmap(group_raw)(points, pmask, keypoints)
+            grouped, empty, slot = jax.vmap(group_raw)(points, pmask, keypoints)
             gshape = grouped.shape
-            out = block(grouped.reshape(-1, *gshape[2:]), empty.reshape(-1), train)
+            out = block(grouped.reshape(-1, *gshape[2:]), empty.reshape(-1),
+                        train, slot_valid=slot.reshape(-1, gshape[2]))
             feats.append(out.reshape(b, num_keypoints, -1))
 
         multi = batch.get("multi_scale_3d_features", {})
@@ -142,14 +148,15 @@ class VoxelSetAbstraction(nn.Module):
 
             def group_voxels(xf, c, v, kp):
                 centers = self._voxel_centers(c, stride)
-                grouped, idx, empty = pn2.query_and_group(
+                grouped, idx, empty, slot = pn2.query_and_group(
                     radius, nsample, centers, kp, xf, valid=v
                 )
-                return grouped, empty
+                return grouped, empty, slot
 
-            grouped, empty = jax.vmap(group_voxels)(x, crd, vld, keypoints)
+            grouped, empty, slot = jax.vmap(group_voxels)(x, crd, vld, keypoints)
             gshape = grouped.shape
-            out = block(grouped.reshape(-1, *gshape[2:]), empty.reshape(-1), train)
+            out = block(grouped.reshape(-1, *gshape[2:]), empty.reshape(-1),
+                        train, slot_valid=slot.reshape(-1, gshape[2]))
             feats.append(out.reshape(b, num_keypoints, -1))
 
         point_features = jnp.concatenate(feats, axis=-1)

@@ -40,12 +40,13 @@ class SAModuleMSG(nn.Module):
             def group_one(x, f, v, nx):
                 return pn2.query_and_group(float(r), int(ns), x, nx, f, valid=v)
 
-            grouped, _, empty = jax.vmap(group_one)(
+            grouped, _, empty, slot = jax.vmap(group_one)(
                 xyz, feats, valid, new_xyz
             )  # (B, S, K, 3+C)
             b, s_, k_, c_ = grouped.shape
             pooled = PointNetBlock(tuple(self.mlps[ri]), name=f"mlp_{ri}")(
-                grouped.reshape(b * s_, k_, c_), empty.reshape(-1), train
+                grouped.reshape(b * s_, k_, c_), empty.reshape(-1), train,
+                slot_valid=slot.reshape(b * s_, k_)
             ).reshape(b, s_, -1)
             outs.append(pooled)
         return new_xyz, jnp.concatenate(outs, axis=-1), new_valid

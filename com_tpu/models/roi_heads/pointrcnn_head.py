@@ -45,10 +45,11 @@ class SAModule(nn.Module):
             return pn2.query_and_group(self.radius, self.nsample, x, nx, f,
                                        valid=v)
 
-        grouped, _, empty = jax.vmap(group_one)(xyz, feats, valid, new_xyz)
+        grouped, _, empty, slot = jax.vmap(group_one)(xyz, feats, valid, new_xyz)
         bs, s_, k_, c_ = grouped.shape
         pooled = PointNetBlock(tuple(self.mlp), name="mlp")(
-            grouped.reshape(bs * s_, k_, c_), empty.reshape(-1), train
+            grouped.reshape(bs * s_, k_, c_), empty.reshape(-1), train,
+            slot_valid=slot.reshape(bs * s_, k_)
         ).reshape(bs, s_, -1)
         return new_xyz, pooled, new_valid
 

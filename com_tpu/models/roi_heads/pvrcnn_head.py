@@ -58,14 +58,15 @@ class PVRCNNHead(nn.Module):
         def pool_one(roi, kpts, kfeat, kvalid):
             grid = roi_grid_points(roi, grid_size)  # (R, G3, 3)
             g3 = grid.shape[1]
-            grouped, idx, empty = pn2.query_and_group(
+            grouped, idx, empty, slot = pn2.query_and_group(
                 radius, nsample, kpts, grid.reshape(-1, 3), kfeat, valid=kvalid
             )
-            return grouped, empty
+            return grouped, empty, slot
 
-        grouped, empty = jax.vmap(pool_one)(rois, kp, kp_feats, kp_valid)
+        grouped, empty, slot = jax.vmap(pool_one)(rois, kp, kp_feats, kp_valid)
         gshape = grouped.shape  # (B, R*G3, K, C)
-        pooled = block(grouped.reshape(-1, *gshape[2:]), empty.reshape(-1), train)
+        pooled = block(grouped.reshape(-1, *gshape[2:]), empty.reshape(-1),
+                       train, slot_valid=slot.reshape(-1, gshape[2]))
         g3 = grid_size**3
         pooled = pooled.reshape(b, r, g3 * pooled.shape[-1])
 

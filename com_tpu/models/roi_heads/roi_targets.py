@@ -40,14 +40,24 @@ class RoITargets(NamedTuple):
 
 
 def canonical_transform(gt_boxes, rois):
-    """Encode GT in each RoI's canonical frame (roi_head_template reg target)."""
+    """Encode GT in each RoI's canonical frame (roi_head_template reg target).
+
+    Heading: IoU matching ignores box direction, so a good proposal can
+    match a GT rotated ~pi.  The reference flips such opposite-direction
+    headings by pi and clamps to [-pi/2, pi/2]
+    (roi_head_template.py:125-130) — without the flip the regression target
+    sits near +-pi and smooth-L1 spins well-placed boxes half a turn."""
     cos, sin = jnp.cos(-rois[..., 6]), jnp.sin(-rois[..., 6])
     dx = gt_boxes[..., 0] - rois[..., 0]
     dy = gt_boxes[..., 1] - rois[..., 1]
     lx = dx * cos - dy * sin
     ly = dx * sin + dy * cos
     lz = gt_boxes[..., 2] - rois[..., 2]
-    heading = _limit_period(gt_boxes[..., 6] - rois[..., 6], 0.5, 2 * jnp.pi)
+    h = jnp.mod(gt_boxes[..., 6] - rois[..., 6], 2 * jnp.pi)  # 0 ~ 2pi
+    opposite = (h > jnp.pi * 0.5) & (h < jnp.pi * 1.5)
+    h = jnp.where(opposite, jnp.mod(h + jnp.pi, 2 * jnp.pi), h)
+    h = jnp.where(h > jnp.pi, h - 2 * jnp.pi, h)  # (-pi/2, pi/2)
+    heading = jnp.clip(h, -jnp.pi / 2, jnp.pi / 2)
     return jnp.stack(
         [lx, ly, lz,
          gt_boxes[..., 3] - rois[..., 3],
@@ -119,33 +129,41 @@ def assign_roi_targets(
             # HARD_BG_RATIO of the bg slots going to the hard tier (random
             # within each tier); unfilled hard slots fall through to easy
             u = jax.random.uniform(key, max_iou.shape)
-            fg_key = jnp.where(is_fg, u, -1.0)
+            fg_key = jnp.where(is_fg, u, -jnp.inf)
             hard = is_bg & (max_iou >= cls_bg_thresh_lo)
             easy = is_bg & ~hard
             # priorities: hard in (2, 3) for its quota, then easy in (1, 2),
             # then hard overflow in (0, 1) as filler
-            hard_rank_u = jnp.where(hard, u, -1.0)
+            hard_rank_u = jnp.where(hard, u, -jnp.inf)
             hard_order = jnp.argsort(-hard_rank_u)
             hard_pos = jnp.argsort(hard_order)  # rank of each roi among hard
             in_quota = hard & (hard_pos < hard_cap)
             bg_key = jnp.where(in_quota, 2.0 + u,
                                jnp.where(easy, 1.0 + u,
-                                         jnp.where(hard, u, -1.0)))
+                                         jnp.where(hard, u, -jnp.inf)))
         else:
             # deterministic fallback: fg by IoU desc, then bg by score desc
-            fg_key = jnp.where(is_fg, max_iou, -1.0)
-            bg_key = jnp.where(is_bg, score, -1.0)
-        fg_rank = jnp.argsort(-fg_key)
-        bg_rank = jnp.argsort(-bg_key)
-        sel = jnp.concatenate([fg_rank[:fg_cap], bg_rank[:bg_cap]])
-        sel_valid = jnp.concatenate(
-            [fg_key[fg_rank[:fg_cap]] >= 0, bg_key[bg_rank[:bg_cap]] >= 0]
-        )
+            # (sentinel -inf: valid backgrounds may carry negative scores)
+            fg_key = jnp.where(is_fg, max_iou, -jnp.inf)
+            bg_key = jnp.where(is_bg, score, -jnp.inf)
+        # combined selection with bg backfill (reference samples
+        # fg_num = min(fg_cap, #fg) and gives the UNUSED fg quota to bg —
+        # a fixed split would train half-empty RoI batches on sparse
+        # scenes).  fg within its quota outranks every bg tier; extra
+        # slots flow to backgrounds in tier order.  Deviation kept: the
+        # hard-bg quota stays sized by the static bg_cap.
+        fg_order = jnp.argsort(-fg_key)
+        fg_pos = jnp.argsort(fg_order)  # rank of each roi among fg
+        fg_in = is_fg & (fg_pos < fg_cap)
+        prio = jnp.where(fg_in, 4.0 + jnp.nan_to_num(fg_key, neginf=0.0),
+                         bg_key)
+        sel = jnp.argsort(-prio)[:roi_per_image]
+        sel_valid = jnp.isfinite(prio[sel])
 
         sroi = roi[sel]
         siou = max_iou[sel]
         sgt = gt[gt_idx[sel]]
-        sfg = is_fg[sel] & sel_valid
+        sfg = fg_in[sel] & sel_valid
 
         # iou-derived soft cls labels (roi_head_template CLS_SCORE_TYPE roi_iou)
         cls = (siou - cls_bg_thresh) / (cls_fg_thresh - cls_bg_thresh)

@@ -54,7 +54,7 @@ class VoxelRCNNHead(nn.Module):
             qr = int(lcfg.get("QUERY_RANGES", [[4, 4, 4]])[0][0])
             radius = float(lcfg.get("POOL_RADIUS", [0.4])[0])
             mlps = tuple(lcfg.get("MLPS", [[32, 32]])[0])
-            radius_vox = radius / (vx * stride)
+            cell_zyx = (vz * stride, vy * stride, vx * stride)
 
             qv = jnp.stack(
                 [
@@ -66,14 +66,15 @@ class VoxelRCNNHead(nn.Module):
             )  # (B, R*G3, 3) zyx voxel space
 
             def query_one(f, c, v, q):
-                idx, empty = sp.voxel_query(
-                    q, c, v, sgrid, max_range=qr, radius_vox=radius_vox,
-                    nsample=nsample)
+                idx, empty, slot = sp.voxel_query(
+                    q, c, v, sgrid, max_range=qr, nsample=nsample,
+                    cell_zyx=cell_zyx, radius_world=radius)
                 nf = f[idx]  # (S, K, C)
                 centers = c[idx].astype(f.dtype)  # zyx voxel coords
-                return nf, centers, empty
+                return nf, centers, empty, slot
 
-            nf, centers, empty = jax.vmap(query_one)(feats, coords, valid, qv)
+            nf, centers, empty, slot = jax.vmap(query_one)(feats, coords,
+                                                           valid, qv)
             # relative offsets in world scale (voxel centers - grid point)
             cw = jnp.stack(
                 [
@@ -89,7 +90,8 @@ class VoxelRCNNHead(nn.Module):
                 grouped = nn.relu(nn.Dense(mlps[0], name=f"pre_{src}")(grouped))
             bsz, s_, k_, c_ = grouped.shape
             pooled = PointNetBlock(mlps, name=f"pool_{src}")(
-                grouped.reshape(bsz * s_, k_, c_), empty.reshape(-1), train
+                grouped.reshape(bsz * s_, k_, c_), empty.reshape(-1), train,
+                slot_valid=slot.reshape(bsz * s_, k_)
             ).reshape(bsz, s_, -1)
             pooled_all.append(pooled)
 

@@ -17,7 +17,14 @@ _BIG = 1e10
 
 
 def square_distance(a, b):
-    """(N, 3) x (M, 3) -> (N, M) squared euclidean distances."""
+    """(N, 3) x (M, 3) -> (N, M) squared euclidean distances.
+
+    Deliberately the broadcast-subtract form, NOT the |a|^2+|b|^2-2ab MXU
+    identity: at lidar coordinate magnitudes (|x| up to ~75 m, |a|^2 ~ 5e3)
+    the matmul form loses ~1e-3 absolute to f32 cancellation, enough to
+    flip borderline radius tests in ball_query; XLA fuses this
+    subtract/square/reduce into one VPU pass without materializing
+    (N, M, 3)."""
     return ((a[:, None, :] - b[None, :, :]) ** 2).sum(-1)
 
 
@@ -97,12 +104,14 @@ def vector_pool_features(xyz, feats, valid, new_xyz, num_local_voxel,
     s = new_xyz.shape[0]
     c = feats.shape[-1]
 
-    idx, empty = ball_query(d, nsample, xyz, new_xyz, valid)
+    # slot_valid (not a recomputed distance test) marks real hits: the
+    # repeat-padded duplicate slots would skew the sub-voxel means and the
+    # 3-NN interpolation weights (the reference vector-pool CUDA kernels
+    # count true members)
+    idx, empty, hit = ball_query(d, nsample, xyz, new_xyz, valid)
     nx_xyz = xyz[idx]  # (S, K, 3)
     nf = feats[idx]
     rel = nx_xyz - new_xyz[:, None, :]
-    hit = jnp.linalg.norm(rel, axis=-1) <= d
-    hit = hit & (~empty)[:, None]
 
     # sub-voxel centers of the local cube, in relative coords
     def centers_1d(n):
@@ -154,7 +163,11 @@ def ball_query(radius: float, nsample: int, xyz, new_xyz, valid=None):
     Matches the CUDA ball_query semantics: the first ``nsample`` in-radius
     points in index order; empty slots repeat the first hit; a center with no
     hits returns all zeros with empty=True.
-    Returns (idx (S, nsample) int32, empty (S,) bool).
+    Returns (idx (S, nsample) int32, empty (S,) bool, slot_valid
+    (S, nsample) bool).  slot_valid marks REAL hits: the repeat-padded
+    slots are duplicates of hit 0 — harmless under max-pooling (reference
+    SA modules) but they'd skew means/interpolation weights, so
+    count-sensitive consumers must mask with it.
     """
     d2 = square_distance(new_xyz, xyz)  # (S, N)
     if valid is not None:
@@ -169,7 +182,7 @@ def ball_query(radius: float, nsample: int, xyz, new_xyz, valid=None):
     idx = jnp.where(hit_sorted, idx_sorted, first)
     empty = ~hit.any(axis=1)
     idx = jnp.where(empty[:, None], 0, idx)
-    return idx, empty
+    return idx, empty, hit_sorted
 
 
 def group_points(features, idx):
@@ -206,11 +219,13 @@ def query_and_group(radius, nsample, xyz, new_xyz, features, valid=None,
                     use_xyz=True):
     """Ball-query + relative-xyz grouping (QueryAndGroup module parity).
 
-    Returns (S, nsample, C[+3]) grouped features with empty groups zeroed."""
-    idx, empty = ball_query(radius, nsample, xyz, new_xyz, valid)
+    Returns (grouped (S, nsample, C[+3]) with empty groups zeroed, idx,
+    empty (S,), slot_valid (S, nsample) marking real hits vs the
+    duplicate-padded slots)."""
+    idx, empty, slot_valid = ball_query(radius, nsample, xyz, new_xyz, valid)
     grouped_xyz = xyz[idx] - new_xyz[:, None, :]
     out = grouped_xyz
     if features is not None:
         grouped = features[idx]
         out = jnp.concatenate([grouped_xyz, grouped], axis=-1) if use_xyz else grouped
-    return out * (~empty)[:, None, None].astype(out.dtype), idx, empty
+    return out * (~empty)[:, None, None].astype(out.dtype), idx, empty, slot_valid

@@ -98,24 +98,49 @@ def submanifold_conv3d(
     return out * valid[:, None].astype(out.dtype)
 
 
-def downsample_sites(coords, valid, stride_zyx, out_cap: int, grid_zyx):
-    """Unique downsampled voxel coords, padded to out_cap.
+def downsample_sites(coords, valid, stride_zyx, out_cap: int, grid_zyx,
+                     kernel=3, pad=1):
+    """Unique SparseConv3d output sites, padded to out_cap.
 
-    Returns (out_coords (out_cap, 3), out_valid (out_cap,)).  Sites are the
-    floor-divided input coords (SparseConv3d k=3 s=2 p=1 covers exactly
-    these sites plus a halo; like spconv we keep the footprint sites, which
-    is what VoxelBackBone8x relies on for its 2x pyramid).
+    spconv's SparseConv3d emits an output at EVERY site whose kernel
+    window touches an occupied input voxel: on one axis, output o covers
+    input i iff s*o - p <= i <= s*o - p + k - 1, i.e.
+    o in [ceil((i+p-k+1)/s), floor((i+p)/s)].  For k=3 s=2 p=1 that is
+    {i//2} for even i but {i//2, i//2+1} for odd i — floor-division alone
+    drops the halo sites at odd coordinates, thinning the active set
+    relative to spconv.  Candidates are enumerated statically
+    (((k-1)//s)+1 per axis) and deduplicated.
+
+    Returns (out_coords (out_cap, 3), out_valid (out_cap,), dgrid).
     """
-    sz, sy, sx = stride_zyx
-    down = jnp.stack(
-        [coords[:, 0] // sz, coords[:, 1] // sy, coords[:, 2] // sx], axis=1
+    stride = tuple(int(s) for s in stride_zyx)
+    ker = (kernel,) * 3 if np.isscalar(kernel) else tuple(int(k) for k in kernel)
+    pd = (pad,) * 3 if np.isscalar(pad) else tuple(int(p) for p in pad)
+    dgrid = tuple(
+        (int(grid_zyx[a]) + 2 * pd[a] - ker[a]) // stride[a] + 1
+        for a in range(3)
     )
-    dgrid = (
-        (int(grid_zyx[0]) + sz - 1) // sz,
-        (int(grid_zyx[1]) + sy - 1) // sy,
-        (int(grid_zyx[2]) + sx - 1) // sx,
-    )
-    keys = flat_key(down, dgrid, valid)
+    # per-axis candidate lists: o = floor((i + p)/s) - c
+    ncand = [((ker[a] - 1) // stride[a]) + 1 for a in range(3)]
+    o_hi = [
+        (coords[:, a] + pd[a]) // stride[a] for a in range(3)
+    ]
+    o_lo = [
+        -((-(coords[:, a] + pd[a] - ker[a] + 1)) // stride[a])
+        for a in range(3)
+    ]
+    cand_keys = []
+    for cz in range(ncand[0]):
+        for cy in range(ncand[1]):
+            for cx in range(ncand[2]):
+                o = jnp.stack([o_hi[0] - cz, o_hi[1] - cy, o_hi[2] - cx],
+                              axis=1)
+                ok = valid
+                for a, c in zip(range(3), (cz, cy, cx)):
+                    ok = ok & (o[:, a] >= o_lo[a]) & (o[:, a] >= 0) \
+                        & (o[:, a] < dgrid[a])
+                cand_keys.append(flat_key(o, dgrid, ok))
+    keys = jnp.concatenate(cand_keys)
     skeys = jnp.sort(keys)
     first = jnp.concatenate(
         [jnp.ones((1,), bool), skeys[1:] != skeys[:-1]]
@@ -141,18 +166,25 @@ def strided_conv3d(
     grid_zyx,
     out_cap: int,
     stride=(2, 2, 2),
-    kernel: int = 3,
+    kernel=3,
+    pad=1,
 ):
-    """SparseConv3d k=3 p=1: output at unique downsampled sites; each output
-    gathers the kernel footprint in input space: in = s*out + off, off in
-    [-1..k-2] per dim (for k=3, p=1: off in {-1, 0, 1})."""
+    """SparseConv3d: output at every site whose kernel window touches an
+    occupied input voxel (downsample_sites, incl. the odd-coordinate halo);
+    each output gathers its footprint in input space: in = s*out + j - p,
+    j in [0, k) per dim."""
     cout = weights.shape[-1]
     v = features.shape[0]
     sorted_keys, order = build_hash(coords, valid, grid_zyx)
     out_coords, out_valid, dgrid = downsample_sites(
-        coords, valid, stride, out_cap, grid_zyx
+        coords, valid, stride, out_cap, grid_zyx, kernel=kernel, pad=pad
     )
-    offs = _offsets(kernel)
+    ker = (kernel,) * 3 if np.isscalar(kernel) else tuple(int(k) for k in kernel)
+    pd = (pad,) * 3 if np.isscalar(pad) else tuple(int(p) for p in pad)
+    offs = np.stack(
+        np.meshgrid(*[np.arange(k) - p for k, p in zip(ker, pd)],
+                    indexing="ij"), axis=-1
+    ).reshape(-1, 3)
     nz, ny, nx = (int(g) for g in grid_zyx)
     s = jnp.asarray(stride, jnp.int32)
 
@@ -229,11 +261,20 @@ def voxel_query(
     max_range: int = 4,
     radius_vox: float = 4.0,
     nsample: int = 16,
+    cell_zyx=None,  # per-axis world cell size (z, y, x) at this scale
+    radius_world: float | None = None,
 ):
     """Voxel neighborhood query (pointnet2_stack voxel_query_utils role,
     used by VoxelRCNN grid pooling): for each query, the first ``nsample``
-    occupied voxels within ``max_range`` cells and ``radius_vox`` distance,
-    enumerated center-outward like the CUDA kernel.
+    occupied voxels within ``max_range`` cells of the query's (floored)
+    cell and within the radius, filled center-outward.
+
+    With ``cell_zyx`` + ``radius_world`` the radius test is the TRUE world
+    distance from the query point to the neighbor voxel's center — the
+    reference CUDA kernel's semantics (voxel_query_gpu.cu:63-65), exact
+    under anisotropic voxels where a cell-unit radius would stretch the
+    ball along the coarser axis.  Without them, the legacy isotropic
+    cell-unit test against ``radius_vox`` from the rounded cell.
 
     Returns (idx (S, nsample) int32 into coords, empty (S,) bool).
     A lax.scan walks the distance-sorted offset list so the unrolled graph
@@ -244,14 +285,25 @@ def voxel_query(
     offs = np.stack(
         np.meshgrid(*([np.arange(-r, r + 1)] * 3), indexing="ij"), axis=-1
     ).reshape(-1, 3)
-    d2 = (offs**2).sum(1)
-    keep = d2 <= radius_vox * radius_vox
+    metric = cell_zyx is not None and radius_world is not None
+    if metric:
+        cell = np.asarray(cell_zyx, np.float64)
+        # conservative prefilter: closest possible center given any query
+        # fraction within its cell is (|off| - 1) cells away per axis
+        dmin2 = (((np.maximum(np.abs(offs) - 1, 0)) * cell) ** 2).sum(1)
+        keep = dmin2 <= float(radius_world) ** 2
+        d2 = ((offs * cell) ** 2).sum(1)
+    else:
+        d2 = (offs**2).sum(1)
+        keep = d2 <= radius_vox * radius_vox
     offs = offs[keep][np.argsort(d2[keep], kind="stable")]
     offs = jnp.asarray(offs, jnp.int32)
 
     s = query_vox.shape[0]
-    base = jnp.round(query_vox).astype(jnp.int32)
+    base = (jnp.floor(query_vox).astype(jnp.int32) if metric
+            else jnp.round(query_vox).astype(jnp.int32))
     nz, ny, nx = (int(g) for g in grid_zyx)
+    cell_j = (jnp.asarray(cell_zyx, query_vox.dtype) if metric else None)
 
     def step(carry, off):
         cnt, buf = carry
@@ -264,6 +316,9 @@ def voxel_query(
         qk = flat_key(nc, grid_zyx, inb)
         nidx = lookup(sorted_keys, order, qk)
         hit = (nidx >= 0) & (cnt < nsample)
+        if metric:
+            rel = (nc.astype(query_vox.dtype) + 0.5 - query_vox) * cell_j
+            hit = hit & ((rel**2).sum(-1) <= float(radius_world) ** 2)
         slot = jnp.clip(cnt, 0, nsample - 1)
         buf = buf.at[jnp.arange(s), slot].set(
             jnp.where(hit, nidx, buf[jnp.arange(s), slot])
@@ -276,7 +331,10 @@ def voxel_query(
     # pad unfilled slots with the first hit (CUDA kernel repeats slot 0)
     filled = jnp.arange(nsample)[None, :] < jnp.maximum(cnt, 1)[:, None]
     buf = jnp.where(filled, buf, buf[:, :1])
-    return buf, empty
+    # slot_valid marks REAL hits (count-sensitive consumers mask with it;
+    # the repeated pad slots are fine under max-pooling only)
+    slot_valid = jnp.arange(nsample)[None, :] < cnt[:, None]
+    return buf, empty, slot_valid
 
 
 def focal_split_and_spawn(feats, coords, valid, imps, grid_zyx,

@@ -160,9 +160,15 @@ def device_hard_voxelize(points, points_mask, pc_range, voxel_size, grid_size,
         prev = jnp.concatenate([jnp.full((1,), -1, skey.dtype), skey[:-1]])
         first = (skey != prev) & (skey != cells)
         startpos = jnp.where(first, jnp.arange(n, dtype=jnp.int32), n)
-        sstart = jax.lax.sort(startpos)[:V]  # run starts, ascending; n = pad
+        # next-run boundaries must come from ALL run starts, not the V-
+        # truncated list: with more occupied cells than max_voxels, the last
+        # kept voxel would otherwise absorb points of the dropped runs
+        allstart = jnp.concatenate(
+            [jax.lax.sort(startpos),
+             jnp.full((max(V + 1 - n, 1),), n, jnp.int32)])
+        sstart = allstart[:V]  # run starts, ascending; n = pad
         total = jnp.sum(inb).astype(jnp.int32)
-        nxt = jnp.concatenate([sstart[1:], jnp.full((1,), n, jnp.int32)])
+        nxt = allstart[1 : V + 1]
         cnt = jnp.clip(jnp.minimum(nxt, total) - sstart, 0, T)
         uvalid = sstart < n
         ukey = skey[jnp.clip(sstart, 0, n - 1)]

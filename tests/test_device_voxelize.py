@@ -88,3 +88,24 @@ def test_pillar_vfe_voxelize_on_device_end_to_end():
     )(variables, batch)
     assert out.shape == (2, 1024, 32)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_voxel_cap_overflow_does_not_absorb_dropped_runs():
+    """With more occupied cells than max_voxels, the last kept voxel used to
+    count/gather points belonging to the dropped cells."""
+    # 5 distinct pillars, 2 points each, cap at 3 voxels
+    xs = np.array([-6.0, -3.0, 0.0, 3.0, 6.0], np.float32)
+    pts = np.zeros((1, 10, 5), np.float32)
+    for i, x in enumerate(xs):
+        pts[0, 2 * i : 2 * i + 2, 0] = x
+        pts[0, 2 * i : 2 * i + 2, 1] = x  # distinct y too
+        pts[0, 2 * i : 2 * i + 2, 3] = i + 1  # payload marks the cell
+    mask = np.ones((1, 10), bool)
+    vox, coords, num = device_hard_voxelize(
+        jnp.asarray(pts), jnp.asarray(mask), PCR, VSIZE, GRID,
+        max_points_per_voxel=4, max_voxels=3)
+    vox, coords, num = map(np.asarray, (vox, coords, num))
+    assert (num[0] == 2).all(), num[0]  # every kept voxel has its own 2 pts
+    for v in range(3):
+        payload = vox[0, v, : num[0, v], 3]
+        assert len(set(payload.tolist())) == 1, (v, payload)

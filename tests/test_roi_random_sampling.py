@@ -51,3 +51,53 @@ def test_hard_bg_quota():
     bg_valid = np.asarray(t.roi_valid)[0, 8:]
     hard_selected = int(((bg >= 0.1) & bg_valid).sum())
     assert hard_selected <= 12 + 4  # quota + tolerance for tier fill
+
+
+def test_canonical_heading_flip_for_opposite_gt():
+    """roi_head_template.py:125-130 parity: a GT rotated ~pi relative to its
+    RoI gets flipped to a small heading target, not +-pi."""
+    import jax.numpy as jnp
+    from com_tpu.models.roi_heads.roi_targets import canonical_transform
+
+    roi = jnp.asarray([[0.0, 0, 0, 4, 2, 1.5, 0.3]])
+    gt_flipped = jnp.asarray([[0.1, 0, 0, 4, 2, 1.5, 0.3 + np.pi + 0.05]])
+    reg = np.asarray(canonical_transform(gt_flipped, roi))
+    assert abs(reg[0, 6]) < 0.1, reg[0, 6]  # flipped to ~0.05, not ~pi
+    gt_same = jnp.asarray([[0.1, 0, 0, 4, 2, 1.5, 0.35]])
+    reg2 = np.asarray(canonical_transform(gt_same, roi))
+    np.testing.assert_allclose(reg2[0, 6], 0.05, atol=1e-5)
+
+
+def test_bg_backfill_when_few_foregrounds():
+    """Reference proposal_target_layer gives unused fg quota to backgrounds;
+    a fixed split would train half-empty RoI batches on sparse scenes."""
+    import jax
+    import jax.numpy as jnp
+    from com_tpu.models.roi_heads.roi_targets import assign_roi_targets
+
+    rng = np.random.RandomState(0)
+    p = 64
+    rois = np.zeros((1, p, 7), np.float32)
+    rois[0, :, 0] = np.arange(p) * 10.0  # spread out
+    rois[0, :, 3:6] = [4, 2, 1.5]
+    gt = np.zeros((1, 2, 8), np.float32)
+    gt[0, 0, :7] = rois[0, 0, :7]  # one perfect match
+    gt[0, 0, 7] = 1
+    labels = np.ones((1, p), np.int32)
+    # negative scores: the old -1 sentinel discarded all such backgrounds
+    scores = -np.abs(rng.randn(1, p)).astype(np.float32)
+    t = assign_roi_targets(
+        jnp.asarray(rois), jnp.asarray(scores), jnp.asarray(labels),
+        jnp.ones((1, p), bool), jnp.asarray(gt),
+        roi_per_image=32, fg_ratio=0.5,
+        rng=jax.random.PRNGKey(0))
+    valid = np.asarray(t.roi_valid[0])
+    fg = np.asarray(t.reg_valid[0])
+    assert fg.sum() == 1
+    assert valid.sum() == 32  # 1 fg + 31 bg, not 1 fg + 16 bg
+    # deterministic fallback path too (no rng)
+    t2 = assign_roi_targets(
+        jnp.asarray(rois), jnp.asarray(scores), jnp.asarray(labels),
+        jnp.ones((1, p), bool), jnp.asarray(gt),
+        roi_per_image=32, fg_ratio=0.5, rng=None)
+    assert np.asarray(t2.roi_valid[0]).sum() == 32

@@ -70,8 +70,17 @@ def test_strided_conv_matches_dense_at_sites():
     dense[coords[:, 0], coords[:, 1], coords[:, 2]] = feats
     oracle = dense_conv3d_oracle(dense, w, stride=2)
 
-    # output sites = unique downsampled input coords
-    want_sites = set(map(tuple, coords // 2))
+    # output sites: every o whose k=3 s=2 p=1 window touches an input —
+    # per axis {i//2} plus the halo {(i+1)//2} at odd coords (spconv
+    # SparseConv3d semantics)
+    dgrid_np = tuple((g + 2 - 3) // 2 + 1 for g in grid)
+    want_sites = set()
+    for c in coords:
+        for z in {c[0] // 2, (c[0] + 1) // 2}:
+            for y in {c[1] // 2, (c[1] + 1) // 2}:
+                for x in {c[2] // 2, (c[2] + 1) // 2}:
+                    if all(0 <= v < g for v, g in zip((z, y, x), dgrid_np)):
+                        want_sites.add((z, y, x))
     got_sites = set(map(tuple, ocoords[ovalid]))
     assert got_sites == want_sites
     for i in np.where(ovalid)[0]:

@@ -19,9 +19,10 @@ def test_voxel_query_center_outward():
     # query at (2, 5, 5): expect itself first, then (2,5,6); far voxel and
     # invalid voxel excluded by radius/validity
     q = jnp.asarray([[2.0, 5.0, 5.0], [2.0, 14.0, 14.0]])
-    idx, empty = voxel_query(q, jnp.asarray(coords), jnp.asarray(valid), grid,
-                             max_range=2, radius_vox=2.0, nsample=4)
+    idx, empty, slot = voxel_query(q, jnp.asarray(coords), jnp.asarray(valid),
+                                   grid, max_range=2, radius_vox=2.0, nsample=4)
     idx, empty = np.asarray(idx), np.asarray(empty)
+    assert np.asarray(slot)[0].sum() >= 2 and not np.asarray(slot)[1].any()
     assert not empty[0]
     assert idx[0, 0] == 0 and idx[0, 1] == 1  # center first, then neighbor
     assert empty[1]  # nothing within range of (2, 14, 14)
