@@ -33,18 +33,32 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-def _pick_th(wd, cin, itemsize):
-    # keep 3 double-buffered input tiles + the (TH+2, W+2, C) scratch well
-    # under VMEM: shrink the row tile as the window row grows.
+def _vmem_footprint(th, wd, cin, cout, itemsize):
+    """Bytes the row-tile kernel holds live at tile height ``th``: 3 double-
+    buffered input tiles + the (TH+2, W+2, Cin) scratch + double-buffered
+    output tile + weights."""
+    tiles_in = 3 * (th * wd * cin * itemsize) * 2
+    scratch = (th + 2) * (wd + 2) * cin * itemsize
+    out = th * wd * cout * itemsize * 2
+    w_bytes = 9 * cin * cout * itemsize
+    return tiles_in + scratch + out + w_bytes
+
+
+_VMEM_BUDGET = 12 * 1024 * 1024
+
+
+def _pick_th(wd, cin, cout, itemsize):
+    # the same footprint model as _fits_vmem (which admits shapes at the
+    # minimum th=8) — disagreement between the two would let the guard
+    # admit a shape and then pick a tile that overflows VMEM.
     # COM_TPU_CONV_TH overrides for on-TPU tile sweeps (tools/perf).
     import os
 
     forced = os.environ.get("COM_TPU_CONV_TH")
     if forced:
         return int(forced)
-    row_bytes = (wd + 2) * cin * itemsize
     for th in (32, 16, 8):
-        if (th + 2) * row_bytes * 4 <= 6 * 1024 * 1024:
+        if _vmem_footprint(th, wd, cin, cout, itemsize) <= _VMEM_BUDGET:
             return th
     return 8
 
@@ -119,7 +133,7 @@ def _halo_specs(th, w_dim, c, grid_h):
 def _conv3x3_fwd_pallas(x, w, interpret=False):
     b, h, wd, cin = x.shape
     cout = w.shape[-1]
-    th = _pick_th(wd, cin, x.dtype.itemsize)
+    th = _pick_th(wd, cin, cout, x.dtype.itemsize)
     hpad = (-h) % th
     if hpad:
         x = jnp.pad(x, ((0, 0), (0, hpad), (0, 0), (0, 0)))
@@ -145,7 +159,7 @@ def _conv3x3_fwd_pallas(x, w, interpret=False):
 def _conv3x3_wgrad_pallas(x, g, interpret=False):
     b, h, wd, cin = x.shape
     cout = g.shape[-1]
-    th = _pick_th(wd, cin, x.dtype.itemsize)
+    th = _pick_th(wd, cin, cout, x.dtype.itemsize)
     hpad = (-h) % th
     if hpad:
         x = jnp.pad(x, ((0, 0), (0, hpad), (0, 0), (0, 0)))
@@ -315,26 +329,41 @@ def _pallas_conv_supported():
     return _PROBE_OK
 
 
+def _spatial_or_model_sharded():
+    """True when the active hybrid mesh shards the canvas rows or conv
+    channels.  The Pallas kernel's partition rule only understands the
+    batch axis (inputs replicated over spatial/model), which would make
+    GSPMD all-gather the canvas at every conv and silently void the
+    memory/FLOP savings those axes exist for — XLA's conv emitter, by
+    contrast, runs shard-local with inserted halo exchanges."""
+    try:
+        from ...parallel.sharding import active_mesh
+
+        mesh = active_mesh()
+    except Exception:
+        return False
+    if mesh is None:
+        return False
+    shape = dict(mesh.shape)
+    return shape.get("spatial", 1) > 1 or shape.get("model", 1) > 1
+
+
 def _dispatch(force):
     backend = force or jax.default_backend()
-    if backend == "tpu" and not _pallas_conv_supported():
+    if backend == "tpu" and (not _pallas_conv_supported()
+                             or _spatial_or_model_sharded()):
         return "cpu"  # XLA conv path
     return backend
 
 
 def _fits_vmem(x, cout):
-    """Conservative VMEM budget check for the row-tile kernel at th=8:
-    3 double-buffered input tiles + W-padded scratch + weights + out tile
-    must stay under ~12 MB.  Oversized windows (e.g. 384ch x 468-wide head
-    convs at bf16 ~= 17 MB) fall back to XLA's conv emitter."""
+    """Conservative VMEM budget check for the row-tile kernel at the
+    minimum tile (th=8), same footprint model as _pick_th.  Oversized
+    windows (e.g. 384ch x 468-wide head convs at bf16 ~= 17 MB) fall back
+    to XLA's conv emitter."""
     b, h, wd, cin = x.shape
-    it = x.dtype.itemsize
-    th = 8
-    tiles_in = 3 * (th * wd * cin * it) * 2  # double buffered
-    scratch = (th + 2) * (wd + 2) * cin * it
-    out = th * wd * cout * it * 2
-    w_bytes = 9 * cin * cout * it
-    return tiles_in + scratch + out + w_bytes <= 12 * 1024 * 1024
+    return _vmem_footprint(8, wd, cin, cout,
+                           x.dtype.itemsize) <= _VMEM_BUDGET
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
@@ -389,7 +418,11 @@ def _conv3x3_bwd(force, res, g):
     # dgrad: correlate the cotangent with the spatially-rotated,
     # in/out-swapped kernel — again a 3x3 stride-1 SAME conv
     w_rot = jnp.flip(jnp.flip(w, 0), 1).swapaxes(2, 3)
-    if backend == "tpu" and not _fits_vmem(x, g.shape[-1]):
+    # the dgrad conv's INPUT is g (cout channels) and its output has cin —
+    # guard against that footprint, not the forward's (a channel-expanding
+    # conv can fit forward yet overflow VMEM in dgrad)
+    if backend == "tpu" and not (_fits_vmem(g, x.shape[-1])
+                                 and _fits_vmem(x, g.shape[-1])):
         backend = "cpu"
     if PARTITIONED:
         dx = _conv3x3_fwd_sharded(g, w_rot.astype(g.dtype), backend)

@@ -269,7 +269,13 @@ def _run_bcast_bwd(op, force, res, g):
         dvals = gsum
     else:
         _, vals, out = res
-        dvals = jnp.where(vals == out, gsum, jnp.zeros((), gsum.dtype))
+        # split the run cotangent EVENLY over tied maxima like
+        # lax.reduce_max's VJP — under bf16, several points in a pillar
+        # routinely round to the same max, and handing each the full gsum
+        # would scale the gradient by the tie count
+        tied = (vals == out).astype(gsum.dtype)
+        nties = _run_bcast_impl(tied, seg, "sum", force)
+        dvals = tied * gsum / jnp.maximum(nties, 1.0)
     dseg = jnp.zeros(seg.shape, dtype=jax.dtypes.float0)
     return dvals, dseg
 

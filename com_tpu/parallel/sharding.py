@@ -57,7 +57,7 @@ def constrain(x, *spec):
     cleaned = tuple(_keep(e) for e in spec)
     if all(e is None for e in cleaned):
         return x
-    # drop names whose mesh size is 1 only when that leaves a real constraint
+    # size-1 axes stay in the spec (harmless no-op constraints)
     return jax.lax.with_sharding_constraint(
         x, NamedSharding(mesh, P(*cleaned)))
 

@@ -90,3 +90,20 @@ def test_sharded_no_allgather():
         .compile().as_text()
     ss.PARTITIONED = False
     assert "all-gather" not in txt and "all_gather" not in txt
+
+
+def test_max_vjp_splits_ties_evenly():
+    """lax.reduce_max-style VJP: tied maxima share the run cotangent
+    (bf16 pillars tie routinely; full-gsum-per-tie scaled grads by the
+    tie count)."""
+    import jax
+    from com_tpu.ops.pallas.seg_scan import run_bcast
+
+    vals = jnp.asarray([[2.0, 2.0, 1.0, 5.0]])[..., None]  # one batch row
+    seg = jnp.asarray([[0, 0, 0, 1]], jnp.int32)
+
+    g = jax.grad(lambda v: run_bcast(v, seg, "max").sum())(vals)
+    g = np.asarray(g)[0, :, 0]
+    # run 0: out=2 broadcast to 3 rows -> gsum=3 split over the 2 tied maxima
+    np.testing.assert_allclose(g[:3], [1.5, 1.5, 0.0])
+    np.testing.assert_allclose(g[3], 1.0)
