@@ -172,6 +172,11 @@ def curriculum_sigmoid_focal_loss(
             end_epoch_cfg if isinstance(end_epoch_cfg, (list, tuple)) else [end_epoch_cfg] * c,
             jnp.float32,
         )
+        # deliberate reference parity (loss_utils.py:267-269): there is NO
+        # epoch >= START gate, so with START > 0 the decay exceeds 1 before
+        # START and the effective height overshoots HEIGHT (weights can go
+        # negative) — the reference behaves identically and the golden
+        # suite pins it
         decay = (ends - epoch) / jnp.clip(ends - start_epoch, 1e-6, None)
         if not inverse:
             decay = jnp.clip(decay, 0.0, None)

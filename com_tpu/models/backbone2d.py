@@ -96,13 +96,3 @@ class BaseBEVBackbone(nn.Module):
         return batch
 
 
-@BACKBONES_2D.register
-class BaseBEVBackboneV1(nn.Module):
-    """Variant without initial stride blocks (reference base_bev_backbone V1)."""
-
-    model_cfg: dict
-    input_channels: int
-
-    @nn.compact
-    def __call__(self, batch, train: bool = True):
-        return BaseBEVBackbone(self.model_cfg, self.input_channels)(batch, train)

@@ -174,6 +174,12 @@ class ImageVFE(nn.Module):
             coords = jnp.stack(
                 [dbin, uv[..., 1] / ds, uv[..., 0] / ds], axis=-1)
             coords = jnp.where(jnp.isfinite(coords), coords, -2.0)
+            # zero voxels projecting beyond the TRUE (pre-pad) image extent
+            # — the DDN computes nonzero features over the zero-pad band
+            # (reference FrustumGridGenerator normalizes by image_shape)
+            in_img = ((uv[..., 0] >= 0) & (uv[..., 0] < ishape[1])
+                      & (uv[..., 1] >= 0) & (uv[..., 1] < ishape[0]))
+            coords = jnp.where(in_img[..., None], coords, -2.0)
             vol = jnp.transpose(fr, (2, 0, 1, 3))  # (D, h, w, C)
             return trilinear_sample(vol, coords)  # (X, Y, Z, C)
 

@@ -94,12 +94,13 @@ class SECONDHead(nn.Module):
         )(fmap, rois)  # (B, R, G, G, C)
         x = pooled.reshape(b, r, -1)
 
-        for i, ch in enumerate(list(cfg.get("SHARED_FC", [256, 256]))):
+        shared_fc = list(cfg.get("SHARED_FC", [256, 256]))
+        for i, ch in enumerate(shared_fc):
             x = nn.Dense(ch, use_bias=False, name=f"shared_fc_{i}")(x)
             x = MaskedBatchNorm(name=f"shared_bn_{i}")(
                 x, use_running_average=not train)
             x = nn.relu(x)
-            if dp > 0 and i != len(cfg.get("SHARED_FC", [])) - 1:
+            if dp > 0 and i != len(shared_fc) - 1:  # no dropout after last
                 x = nn.Dropout(dp, deterministic=not train)(x)
         for i, ch in enumerate(list(cfg.get("IOU_FC", [256, 256]))):
             x = nn.Dense(ch, use_bias=False, name=f"iou_fc_{i}")(x)

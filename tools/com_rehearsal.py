@@ -133,6 +133,13 @@ def main():
     from com_tpu.utils.config import CfgNode, cfg_from_yaml_file
 
     out_dir = Path(args.output_dir)
+    if out_dir.exists():
+        # a stale run would make resume_latest skip every epoch and the
+        # rehearsal would "pass" on old artifacts without training at all
+        import shutil
+
+        print(f"[0/5] clearing previous rehearsal output at {out_dir}")
+        shutil.rmtree(out_dir)
     print(f"[1/5] training {args.epochs} epochs via tools/train.py "
           f"({args.device}) ...")
     run_train(args.cfg, args.epochs, out_dir, args.device)
@@ -172,11 +179,14 @@ def main():
     # epoch of training is legitimately tiny for weak classes), so the bar
     # applies at the LAST fed epoch; earlier epochs just need nonzero shift
     fed = rows[-1]["dist"]
+    # empty reports would make every assertion below pass vacuously
+    assert fed, "distribution_report produced no classes — nothing verified"
     shifted = {c: fed[c]["l1_from_size_prior"] for c in fed}
     for c, l1 in shifted.items():
         assert l1 > 0.05, f"{c}: sampling distribution did not shift (L1={l1})"
     early = {c: d["l1_from_size_prior"] for c, d in rows[1]["dist"].items()}
-    assert all(v > 0 for v in early.values()), f"no epoch-1 feedback: {early}"
+    assert early and all(v > 0 for v in early.values()), \
+        f"no epoch-1 feedback: {early}"
     if len(rows) > 2:
         moves = []
         for c in fed:

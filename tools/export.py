@@ -84,12 +84,23 @@ def main():
         from com_tpu.utils.checkpoint import load_checkpoint
         from com_tpu.utils.transfer import host_zeros_like
 
+        from com_tpu.train.step import conf_shape_for, is_anchor_head
+
         tx, _ = build_optimizer(variables["params"], cfg.OPTIMIZATION,
                                 1000, 100)
+        # template matches train.py's TrainState (incl. conf accumulators)
+        # so the typed restore doesn't structure-mismatch into a raw read
         dh = cfg.MODEL.get("DENSE_HEAD", {})
+        if is_anchor_head(cfg.MODEL):
+            num_heads, anchor_nc = 1, (
+                len(cfg.CLASS_NAMES) if "LOSS_CURRICULUM" in dh else None)
+        else:
+            num_heads = len(dh.get("CLASS_NAMES_EACH_HEAD", [None]))
+            anchor_nc = None
         template = TrainState.create_jit(
-            variables, tx,
-            num_head_groups=len(dh.get("CLASS_NAMES_EACH_HEAD", [None])))
+            variables, tx, num_head_groups=num_heads,
+            anchor_num_class=anchor_nc,
+            conf_shape=conf_shape_for(cfg.MODEL, list(cfg.CLASS_NAMES)))
         payload = load_checkpoint(args.ckpt, host_zeros_like(template))
         st = payload["state"]
         variables = {

@@ -44,44 +44,92 @@ def parse_config():
     return args, cfg
 
 
-def evaluate_ckpt(ckpt_path, cfg, args, logger):
+class EvalContext:
+    """Everything checkpoint-independent, built ONCE: dataloader, network,
+    eval step, restore template, mesh.  --eval_all reuses it across polled
+    checkpoints (the reference reuses its built model and reloads weights;
+    rebuilding re-compiles the eval step for minutes per checkpoint over
+    the axon tunnel)."""
+
+    def __init__(self, cfg, args, logger):
+        import jax
+
+        from com_tpu.data import build_dataloader
+        from com_tpu.models.detectors import DatasetMeta, build_network
+        from com_tpu.train.eval import make_eval_step
+        from com_tpu.train.optim import build_optimizer
+        from com_tpu.train.state import TrainState
+        from com_tpu.train.step import conf_shape_for, is_anchor_head
+        from com_tpu.utils.transfer import host_zeros_like
+
+        self.cfg, self.args, self.logger = cfg, args, logger
+        # global batch = per-device batch x devices (train.py parity) so
+        # the data-parallel eval shard condition can actually hold
+        batch_per_device = args.batch_size or int(
+            cfg.OPTIMIZATION.BATCH_SIZE_PER_GPU)
+        n_devices = len(jax.devices())
+        self.dataset, self.loader = build_dataloader(
+            cfg.DATA_CONFIG, cfg.CLASS_NAMES, batch_per_device * n_devices,
+            training=False, workers=args.workers, logger=logger,
+        )
+        dataset = self.dataset
+        grid = dataset.grid_size if dataset.grid_size is not None else [468, 468, 1]
+        vsize = dataset.voxel_size if dataset.voxel_size is not None else [0.32, 0.32, 6.0]
+        self.meta = DatasetMeta(
+            cfg.CLASS_NAMES, dataset.point_cloud_range, vsize, grid,
+            dataset.point_feature_encoder.num_point_features)
+        self.net = build_network(cfg.MODEL, self.meta)
+
+        sample = next(iter(self.loader))
+        example = {k: v for k, v in sample.items() if isinstance(v, np.ndarray)}
+        variables = jax.jit(self.net.init, static_argnames=("train",))(
+            jax.random.PRNGKey(0), example, train=False
+        )
+        tx, _ = build_optimizer(variables["params"], cfg.OPTIMIZATION, 1000, 100)
+        # the template must match train.py's TrainState exactly (incl. the
+        # curriculum conf accumulators) or the typed restore structure-
+        # mismatches and silently degrades to a raw double read
+        if is_anchor_head(cfg.MODEL):
+            num_heads = 1
+            anchor_nc = (len(cfg.CLASS_NAMES)
+                         if "LOSS_CURRICULUM" in cfg.MODEL.DENSE_HEAD else None)
+        else:
+            num_heads = len(cfg.MODEL.DENSE_HEAD.CLASS_NAMES_EACH_HEAD)
+            anchor_nc = None
+        template = TrainState.create_jit(
+            variables, tx, num_head_groups=num_heads, anchor_num_class=anchor_nc,
+            conf_shape=conf_shape_for(cfg.MODEL, list(cfg.CLASS_NAMES)))
+        self.template = host_zeros_like(template)
+        self.eval_step = make_eval_step(self.net, cfg.MODEL,
+                                        list(cfg.CLASS_NAMES), self.meta)
+        self.mesh = None
+        if n_devices > 1:
+            from com_tpu.parallel.mesh import make_mesh
+
+            self.mesh = make_mesh()  # data-parallel eval over all chips
+
+    def load(self, ckpt_path):
+        from com_tpu.utils.checkpoint import load_checkpoint
+
+        payload = load_checkpoint(ckpt_path, self.template)
+        state = payload["state"]
+        return {
+            "params": state.params if hasattr(state, "params") else state["params"],
+            "batch_stats": (state.batch_stats if hasattr(state, "batch_stats")
+                            else state["batch_stats"]),
+        }
+
+
+def evaluate_ckpt(ckpt_path, cfg, args, logger, ctx: EvalContext | None = None):
     import jax
 
-    from com_tpu.data import build_dataloader
-    from com_tpu.models.detectors import DatasetMeta, build_network
-    from com_tpu.train.eval import eval_model, make_eval_step
-    from com_tpu.train.optim import build_optimizer
-    from com_tpu.train.state import TrainState
-    from com_tpu.utils.checkpoint import load_checkpoint
+    from com_tpu.train.eval import eval_model
 
-    batch = args.batch_size or int(cfg.OPTIMIZATION.BATCH_SIZE_PER_GPU)
-    dataset, loader = build_dataloader(
-        cfg.DATA_CONFIG, cfg.CLASS_NAMES, batch, training=False,
-        workers=args.workers, logger=logger,
-    )
-    grid = dataset.grid_size if dataset.grid_size is not None else [468, 468, 1]
-    vsize = dataset.voxel_size if dataset.voxel_size is not None else [0.32, 0.32, 6.0]
-    meta = DatasetMeta(cfg.CLASS_NAMES, dataset.point_cloud_range, vsize, grid,
-                       dataset.point_feature_encoder.num_point_features)
-    net = build_network(cfg.MODEL, meta)
-
-    sample = next(iter(loader))
-    example = {k: v for k, v in sample.items() if isinstance(v, np.ndarray)}
-    variables = jax.jit(net.init, static_argnames=("train",))(
-        jax.random.PRNGKey(0), example, train=False
-    )
-    tx, _ = build_optimizer(variables["params"], cfg.OPTIMIZATION, 1000, 100)
-    dh = cfg.MODEL.get("DENSE_HEAD", {})
-    num_heads = len(dh.get("CLASS_NAMES_EACH_HEAD", [None]))
-    template = TrainState.create_jit(variables, tx, num_head_groups=num_heads)
-    from com_tpu.utils.transfer import host_zeros_like
-
-    payload = load_checkpoint(ckpt_path, host_zeros_like(template))
-    state = payload["state"]
-    variables = {"params": state.params if hasattr(state, "params") else state["params"],
-                 "batch_stats": state.batch_stats if hasattr(state, "batch_stats") else state["batch_stats"]}
-
-    eval_step = make_eval_step(net, cfg.MODEL, list(cfg.CLASS_NAMES), meta)
+    if ctx is None:
+        ctx = EvalContext(cfg, args, logger)
+    dataset, loader = ctx.dataset, ctx.loader
+    variables = ctx.load(ckpt_path)
+    eval_step = ctx.eval_step
     if args.infer_time:
         # per-frame latency with a forced device sync per batch
         # (reference --infer_time + CUDA_LAUNCH_BLOCKING role)
@@ -107,15 +155,10 @@ def evaluate_ckpt(ckpt_path, cfg, args, logger):
             lat.append((time.time() - t0) / bs)
         logger.info("inference latency: %.2f ms/frame (median of %d batches)",
                     1e3 * float(np.median(lat)), len(lat))
-    mesh = None
-    if len(jax.devices()) > 1:
-        from com_tpu.parallel.mesh import make_mesh
-
-        mesh = make_mesh()  # data-parallel eval over all chips
     det_annos, recalls, spe = eval_model(
         eval_step, variables, loader, list(cfg.CLASS_NAMES), logger=logger,
         recall_thresh_list=tuple(cfg.MODEL.get("POST_PROCESSING", {}).get("RECALL_THRESH_LIST", [0.3, 0.5, 0.7])),
-        mesh=mesh,
+        mesh=ctx.mesh,
     )
     if args.save_to_file:
         import pickle
@@ -155,6 +198,7 @@ def main():
     # repeat_eval_ckpt: poll ckpt dir, evaluate new checkpoints as they appear
     ckpt_dir = Path(args.ckpt_dir) if args.ckpt_dir else out_dir / "ckpt"
     ledger = eval_dir / f"eval_list_{args.eval_tag}.txt"
+    ctx = None
     evaluated = set()
     if ledger.exists():
         evaluated = set(ledger.read_text().split())
@@ -167,9 +211,11 @@ def main():
             waited += 30
             continue
         waited = 0.0
+        if ctx is None:
+            ctx = EvalContext(cfg, args, logger)  # built once, reused
         for epoch, path in todo:
             logger.info("evaluating checkpoint epoch %d", epoch)
-            evaluate_ckpt(path, cfg, args, logger)
+            evaluate_ckpt(path, cfg, args, logger, ctx=ctx)
             evaluated.add(str(epoch))
             with open(ledger, "a") as f:
                 f.write(f"{epoch}\n")

@@ -148,7 +148,16 @@ def main():
         from com_tpu.utils.checkpoint import load_params_only
 
         state = load_params_only(args.pretrained_model, state, logger=logger)
-    resumed = resume_latest(ckpt_dir, host_zeros_like(state), logger=logger)
+    if args.ckpt:
+        # explicit checkpoint takes priority over resume-latest
+        # (train.py --ckpt reference semantics)
+        from com_tpu.utils.checkpoint import load_checkpoint
+
+        resumed = load_checkpoint(args.ckpt, host_zeros_like(state))
+        logger.info("resumed from --ckpt %s", args.ckpt)
+    else:
+        resumed = resume_latest(ckpt_dir, host_zeros_like(state),
+                                logger=logger)
     if resumed is not None:
         state = resumed["state"]
         start_epoch = int(resumed["meta"]["epoch"])
