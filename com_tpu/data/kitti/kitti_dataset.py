@@ -27,9 +27,10 @@ def parse_label_file(path):
     names, trunc, occ, alpha, bbox, dims, locs, ry = [], [], [], [], [], [], [], []
     for line in open(path).readlines():
         p = line.strip().split(" ")
+        # DontCare rows matter only for the 2D-bbox metric's FP subtraction
+        # (reference eval.py:250, metric==0), which this framework's
+        # BEV/3D-only evaluator never computes — drop them here
         if len(p) < 15 or p[0] == "DontCare":
-            if p and p[0] == "DontCare":
-                pass
             continue
         names.append(p[0])
         trunc.append(float(p[1]))
@@ -151,13 +152,33 @@ class KittiDataset(DatasetTemplate):
                 data["trans_cam_to_img"] = c2i
             if "gt_boxes2d" in item_list and label_path.exists():
                 data["gt_boxes2d"] = self.get_label(idx)["bbox"]
-            plane = self.get_road_plane(idx)
-            if plane is not None:
-                data["road_plane"] = plane
+        # road-plane reseating of gt-sampled objects is independent of
+        # GET_ITEM_LIST (the reference loads the plane unconditionally);
+        # a points-only config with USE_ROAD_PLANE would silently float
+        # pasted objects otherwise
+        plane = self.get_road_plane(idx)
+        if plane is not None:
+            data["road_plane"] = plane
         return self.prepare_data(data)
 
     def evaluation(self, det_annos, class_names, **kwargs):
+        from .calibration import (
+            boxes3d_kitti_camera_to_imageboxes,
+            boxes3d_lidar_to_kitti_camera,
+        )
         from .kitti_eval import kitti_evaluation
 
         gt_annos = [self.frame_gt_annos(a["frame_id"]) for a in det_annos]
+        # project detections to image bboxes so the evaluator can apply the
+        # reference's per-difficulty 2D-height det-ignore (clean_data:70-82)
+        for a in det_annos:
+            if "bbox" in a or not len(a.get("boxes_lidar", [])):
+                continue
+            try:
+                calib = self.get_calib(a["frame_id"])
+                cam = boxes3d_lidar_to_kitti_camera(
+                    np.asarray(a["boxes_lidar"])[:, :7], calib)
+                a["bbox"] = boxes3d_kitti_camera_to_imageboxes(cam, calib)
+            except FileNotFoundError:
+                pass  # no calib (synthetic/fixture runs): dets stay valid
         return kitti_evaluation(det_annos, gt_annos, class_names)

@@ -53,14 +53,23 @@ def _gt_ignore_codes(gt, class_name, difficulty):
 
 
 def _match_stats(iou, gt_code, det_scores, min_overlap, thresh,
-                 compute_fp):
+                 compute_fp, det_code=None):
     """compute_statistics_jit semantics (eval.py:157-243): greedy per-GT
     assignment — by score when collecting thresholds (compute_fp=False), by
     max overlap when counting tp/fp at a threshold; strict > min_overlap.
 
+    det_code mirrors the reference's ignored_det: 0 = valid, 1 = ignored
+    (projected 2D height below the difficulty gate) — ignored detections
+    can absorb a GT (no TP) and never count as FP.  DontCare regions need
+    no handling here: the reference subtracts them only for metric 0 (2D
+    bbox AP, eval.py:250 ``if metric == 0``), which this evaluator does
+    not report.
+
     iou: (num_det, num_gt).  Returns (tp, fp, fn, tp_scores list)."""
     num_det = len(det_scores)
     num_gt = iou.shape[1] if num_det else len(gt_code)
+    if det_code is None:
+        det_code = np.zeros(num_det, np.int64)
     assigned = np.zeros(num_det, bool)
     ignored_thresh = det_scores < thresh if compute_fp else np.zeros(num_det, bool)
     tp = fp = fn = 0
@@ -68,28 +77,35 @@ def _match_stats(iou, gt_code, det_scores, min_overlap, thresh,
     for i in range(num_gt):
         if gt_code[i] == -1:
             continue
-        usable = ~assigned & ~ignored_thresh
-        if num_det:
-            ov = np.where(usable, iou[:, i], -1.0)
         det_idx = -1
         if num_det:
+            usable = ~assigned & ~ignored_thresh
+            ov = np.where(usable, iou[:, i], -1.0)
             cand = ov > min_overlap
-            if cand.any():
-                if compute_fp:
-                    det_idx = int(np.argmax(np.where(cand, ov, -1.0)))
-                else:
-                    det_idx = int(np.argmax(np.where(cand, det_scores, NO_DETECTION)))
+            if compute_fp:
+                # prefer the highest-overlap VALID det; an ignored det is
+                # taken only when no valid det matches (eval.py:199-224)
+                valid_cand = cand & (det_code == 0)
+                if valid_cand.any():
+                    det_idx = int(np.argmax(np.where(valid_cand, ov, -1.0)))
+                elif (cand & (det_code == 1)).any():
+                    det_idx = int(np.argmax(
+                        np.where(cand & (det_code == 1), ov, -1.0)))
+            else:
+                if cand.any():
+                    det_idx = int(np.argmax(
+                        np.where(cand, det_scores, NO_DETECTION)))
         if det_idx < 0:
             if gt_code[i] == 0:
                 fn += 1
-        elif gt_code[i] == 1:
+        elif gt_code[i] == 1 or det_code[det_idx] == 1:
             assigned[det_idx] = True
         else:
             tp += 1
             tp_scores.append(float(det_scores[det_idx]))
             assigned[det_idx] = True
     if compute_fp:
-        fp = int((~assigned & ~ignored_thresh).sum())
+        fp = int((~assigned & ~ignored_thresh & (det_code == 0)).sum())
     return tp, fp, fn, tp_scores
 
 
@@ -117,21 +133,31 @@ def eval_class(gt_annos, det_annos, class_name, difficulty, metric):
     frames = []
     total_gt = 0
     all_tp_scores = []
+    gates = DIFFICULTY[difficulty]
     for gt, det in zip(gt_annos, det_annos):
         code = _gt_ignore_codes(gt, class_name, difficulty)
         det_mask = np.char.lower(det["name"].astype(str)) == class_name.lower()
         det_boxes = np.asarray(det["boxes_lidar"])[det_mask]
         det_scores = np.asarray(det["score"])[det_mask]
+        # reference clean_data:70-82 ignores detections whose projected 2D
+        # height falls under the difficulty gate (applies to every metric);
+        # dets without a projected bbox stay valid
+        if "bbox" in det and len(np.asarray(det["bbox"])):
+            h2d = np.asarray(det["bbox"])[det_mask]
+            h2d = np.abs(h2d[:, 3] - h2d[:, 1])
+            det_code = np.where(h2d < gates["height"], 1, 0).astype(np.int64)
+        else:
+            det_code = np.zeros(len(det_scores), np.int64)
         gt_boxes = np.asarray(gt["gt_boxes_lidar"])
         iou = (
             iou_fn(det_boxes[:, :7], gt_boxes[:, :7], xp=np)
             if len(det_boxes) and len(gt_boxes)
             else np.zeros((len(det_boxes), len(gt_boxes)))
         )
-        frames.append((iou, code, det_scores))
+        frames.append((iou, code, det_scores, det_code))
         total_gt += int((code == 0).sum())
         _, _, _, tps = _match_stats(iou, code, det_scores, min_overlap, 0.0,
-                                    compute_fp=False)
+                                    compute_fp=False, det_code=det_code)
         all_tp_scores += tps
     if total_gt == 0:
         return 0.0
@@ -140,9 +166,10 @@ def eval_class(gt_annos, det_annos, class_name, difficulty, metric):
     prec = np.zeros(N_SAMPLE_PTS)
     for ti, t in enumerate(thresholds[:N_SAMPLE_PTS]):
         tp = fp = fn = 0
-        for iou, code, det_scores in frames:
+        for iou, code, det_scores, det_code in frames:
             tpi, fpi, fni, _ = _match_stats(iou, code, det_scores,
-                                            min_overlap, t, compute_fp=True)
+                                            min_overlap, t, compute_fp=True,
+                                            det_code=det_code)
             tp += tpi
             fp += fpi
             fn += fni

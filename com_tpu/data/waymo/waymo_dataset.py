@@ -63,6 +63,10 @@ class WaymoDataset(DatasetTemplate):
             with open(info_path, "rb") as f:
                 infos = pickle.load(f)
             self.infos.extend(infos)
+        # full-rate (pre-subsample) sequence index: multi-frame fusion looks
+        # up offsets -1..-k, which interval subsampling would almost never
+        # keep (the reference holds a full seq_name_to_infos for this)
+        self._full_infos = self.infos
         self.infos = self.infos[::interval] if interval > 1 else self.infos
         if self.logger:
             self.logger.info("WaymoDataset %s: %d frames", self.split, len(self.infos))
@@ -91,16 +95,21 @@ class WaymoDataset(DatasetTemplate):
             [points, np.zeros((len(points), 1), np.float32)], axis=1)]
         idx_by_sample = getattr(self, "_seq_index", None)
         if idx_by_sample is None:
+            # built over the FULL-rate infos: with SAMPLED_INTERVAL > 1 the
+            # -1..-k neighbors are not in self.infos and fusion would
+            # silently degrade to single-frame at train time only
             self._seq_index = {}
-            for i, inf in enumerate(self.infos):
+            src = getattr(self, "_full_infos", self.infos)
+            for i, inf in enumerate(src):
                 pc = inf["point_cloud"]
                 self._seq_index[(pc["lidar_sequence"], pc["sample_idx"])] = i
             idx_by_sample = self._seq_index
+        src_infos = getattr(self, "_full_infos", self.infos)
         for off in range(int(lo), int(hi)):
             past_idx = idx_by_sample.get((seq, sample_idx + off))
             if past_idx is None:
                 continue
-            past_info = self.infos[past_idx]
+            past_info = src_infos[past_idx]
             past_pts = self.get_lidar(seq, sample_idx + off)
             pose_past = np.asarray(past_info["pose"], np.float64).reshape(4, 4)
             rel = pose_cur_inv @ pose_past
@@ -108,7 +117,10 @@ class WaymoDataset(DatasetTemplate):
                 [past_pts[:, :3], np.ones((len(past_pts), 1))], axis=1
             )
             xyz = (hom @ rel.T)[:, :3].astype(np.float32)
-            ts = np.full((len(past_pts), 1), 0.1 * off, np.float32)
+            # POSITIVE time lag 0.1 * (cur - past) like the reference
+            # (waymo_dataset.py:253-339) — mppnet crops past frame i by
+            # t == +0.1*i, so a negative tag would empty every past crop
+            ts = np.full((len(past_pts), 1), -0.1 * off, np.float32)
             all_points.append(
                 np.concatenate([xyz, past_pts[:, 3:], ts], axis=1)
             )
@@ -129,7 +141,13 @@ class WaymoDataset(DatasetTemplate):
             annos = info["annos"]
             keep = annos["name"] != "unknown"
             data["gt_names"] = annos["name"][keep]
-            data["gt_boxes"] = annos["gt_boxes_lidar"][keep][:, :7].astype(np.float32)
+            gtb = np.asarray(annos["gt_boxes_lidar"])[keep].astype(np.float32)
+            # TRAIN_WITH_SPEED keeps the vx/vy columns (cols 7:9 from
+            # waymo_utils) for velocity-regressing heads; the augmentor
+            # rotates them and target_assign emits vel residuals
+            if not self.dataset_cfg.get("TRAIN_WITH_SPEED", False):
+                gtb = gtb[:, :7]
+            data["gt_boxes"] = gtb
             npgt = annos.get("num_points_in_gt")
             if npgt is not None:
                 data["num_points_in_gt"] = npgt[keep].astype(np.float32)

@@ -54,18 +54,23 @@ def corner_points_of_roi(rois):
     return rot + rois[..., None, 0:3]
 
 
+def grid_index(g: int, dtype=jnp.float32):
+    """(G^3, 3) x-major grid indices — the ONE flattening order shared by
+    proxy points and their positional embeddings."""
+    return jnp.asarray(
+        [[x, y, z] for x in range(g) for y in range(g) for z in range(g)],
+        dtype,
+    )
+
+
 def proxy_points_of_roi(rois, grid_size: int):
     """Dense grid_size^3 proxy points (mppnet_head.py:381-390, 444-452).
 
     rois (..., 7) -> global (..., G^3, 3); grid flattened in (x, y, z) order.
     """
-    g = grid_size
-    idx = jnp.asarray(
-        [[x, y, z] for x in range(g) for y in range(g) for z in range(g)],
-        rois.dtype,
-    )  # (G^3, 3)
+    idx = grid_index(grid_size, rois.dtype)  # (G^3, 3)
     dims = rois[..., 3:6]
-    local = (idx + 0.5) / g * dims[..., None, :] - dims[..., None, :] / 2
+    local = (idx + 0.5) / grid_size * dims[..., None, :] - dims[..., None, :] / 2
     rot = rotate_z(local, rois[..., None, 6])
     return rot + rois[..., None, 0:3], local
 
@@ -370,12 +375,9 @@ class MPPNetHead(nn.Module):
         box_reg, feat_box = self.trajectory_branch(
             trajectory.transpose(0, 2, 1, 3).reshape(br, f, d), train)
 
-        g = self.grid_size
-        grid_index = jnp.asarray(
-            [[x, y, z] for x in range(g) for y in range(g) for z in range(g)],
-            jnp.float32,
-        )
-        pos = self.grid_pos_embeded(grid_index)  # (G^3, C)
+        # same flattening order as proxy_points_of_roi — a divergent copy
+        # would silently pair positional embeddings with the wrong proxies
+        pos = self.grid_pos_embeded(grid_index(self.grid_size))  # (G^3, C)
         pos = jnp.concatenate(
             [jnp.zeros((1, self.hidden_dim), pos.dtype), pos], axis=0)
 

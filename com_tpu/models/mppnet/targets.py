@@ -65,15 +65,18 @@ def sample_mppnet_targets(
         gt_idx = iou.argmax(axis=1)
 
         is_fg = (max_iou >= reg_fg_thresh) & valid
-        fg_key = jnp.where(is_fg, max_iou, -1.0)
-        fg_rank = jnp.argsort(-fg_key)
-        bg_key = jnp.where(~is_fg & valid, score, -1.0)
-        bg_rank = jnp.argsort(-bg_key)
-        sel = jnp.concatenate(
-            [fg_rank[:fg_cap], bg_rank[: roi_per_image - fg_cap]])
-        sel_valid = jnp.concatenate(
-            [fg_key[fg_rank[:fg_cap]] >= 0,
-             bg_key[bg_rank[: roi_per_image - fg_cap]] >= 0])
+        # combined selection with bg backfill (subsample_rois semantics:
+        # fg_num = min(cap, #fg), remaining slots ALL go to backgrounds —
+        # a fixed split wastes up to half the RoI batch on sparse frames);
+        # -inf sentinels so negative proposal scores aren't read as padding
+        fg_key = jnp.where(is_fg, max_iou, -jnp.inf)
+        fg_pos = jnp.argsort(jnp.argsort(-fg_key))
+        fg_in = is_fg & (fg_pos < fg_cap)
+        bg_key = jnp.where(~is_fg & valid, score, -jnp.inf)
+        prio = jnp.where(fg_in, 4.0 + jnp.nan_to_num(fg_key, neginf=0.0),
+                         bg_key)
+        sel = jnp.argsort(-prio)[:roi_per_image]
+        sel_valid = jnp.isfinite(prio[sel])
 
         straj = traj[:, sel] * sel_valid[None, :, None].astype(traj.dtype)
         svlen = vlen[:, sel] * sel_valid[None, :].astype(vlen.dtype)

@@ -89,9 +89,18 @@ def cfg_from_yaml_file(cfg_file, config: CfgNode | None = None) -> CfgNode:
         new_config = yaml.safe_load(f)
     merge_new_config(config, new_config)
     config["TAG"] = Path(cfg_file).stem
-    # path of the config relative to a cfgs/ root, e.g. waymo_models/com/xxx
+    # path of the config relative to the configs/cfgs root at ANY depth
+    # (reference config.py: '/'.join(cfg_file.split('/')[1:-1])), so
+    # configs/waymo_models/x.yaml -> waymo_models and
+    # configs/waymo_models/com/x.yaml -> waymo_models/com land in one tree
     parts = [p for p in Path(cfg_file).resolve().parts[:-1] if p != "/"]
-    config["EXP_GROUP_PATH"] = "/".join(parts[-2:])
+    for root in ("configs", "cfgs"):
+        if root in parts:
+            parts = parts[parts.index(root) + 1:]
+            break
+    else:
+        parts = parts[-2:]
+    config["EXP_GROUP_PATH"] = "/".join(parts)
     return config
 
 
@@ -107,7 +116,11 @@ def cfg_from_list(cfg_list, config: CfgNode) -> None:
         d = config
         for subkey in key_list[:-1]:
             if subkey.isdigit():
-                # index into a list of dicts, match by NAME when present
+                # positional index into a list entry (KEY.0.SUBKEY form)
+                assert isinstance(d, (list, tuple)), (
+                    f"{k}: {subkey} indexes a non-list config node")
+                assert int(subkey) < len(d), (
+                    f"{k}: index {subkey} out of range ({len(d)} entries)")
                 d = d[int(subkey)]
             else:
                 assert subkey in d, f"unknown config key: {k}"

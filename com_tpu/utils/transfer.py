@@ -14,6 +14,14 @@ import jax
 import jax.numpy as jnp
 
 
+# module-level jitted pack: jax.jit caches on the function OBJECT, so a
+# per-call lambda would retrace + recompile the ~200-leaf concatenate on
+# every fetch (seconds of XLA compile each time)
+@jax.jit
+def _pack(*xs):
+    return jnp.concatenate([jnp.ravel(x) for x in xs])
+
+
 def fast_device_get(tree):
     leaves, treedef = jax.tree.flatten(tree)
     if not leaves:
@@ -28,9 +36,7 @@ def fast_device_get(tree):
         if len(idxs) == 1:
             fetched[idxs[0]] = jax.device_get(leaves[idxs[0]])
             continue
-        packed = jax.jit(
-            lambda *xs: jnp.concatenate([jnp.ravel(x) for x in xs])
-        )(*[leaves[i] for i in idxs])
+        packed = _pack(*[leaves[i] for i in idxs])
         flat = np.asarray(jax.device_get(packed))
         off = 0
         for i in idxs:

@@ -152,11 +152,31 @@ def test_multiframe_pose_fusion(waymo_root):
                                  ds.dataset_cfg["SEQUENCE_CONFIG"])
     assert fused.shape[1] == 6  # +timestamp channel
     assert len(fused) > len(pts0)
-    # past frames carry nonzero relative timestamps
-    assert np.unique(fused[:, 5]).size >= 2
+    # past frames carry POSITIVE 0.1*lag timestamps (reference sign:
+    # mppnet crops frame i by t == +0.1*i, so a negative tag would leave
+    # every past crop empty)
+    ts = np.unique(np.round(fused[:, 5], 4))
+    np.testing.assert_allclose(np.sort(ts), [0.0, 0.1, 0.2], atol=1e-4)
     # pose re-projection moved the past points (ego advanced 2 m per frame)
     past = fused[len(pts0):]
     assert np.abs(past[:, 0]).max() > 0
+
+
+def test_multiframe_fusion_survives_interval_subsampling(waymo_root):
+    """SAMPLED_INTERVAL > 1 must not empty the past-frame lookup: the
+    sequence index is built over the FULL-rate infos (the subsampled list
+    almost never contains offsets -1..-k)."""
+    ds = _dataset(waymo_root, {
+        "SEQUENCE_CONFIG": {"ENABLED": True, "SAMPLE_OFFSET": [-2, 0]},
+        "SAMPLED_INTERVAL": {"train": 2, "test": 1},
+    })
+    # pick a kept frame with at least 2 predecessors in the sequence
+    info = next(i for i in ds.infos if i["point_cloud"]["sample_idx"] >= 2)
+    sample_idx = info["point_cloud"]["sample_idx"]
+    pts0 = ds.get_lidar("segment-0000_fixture", sample_idx)
+    fused = ds.get_sequence_data(info, pts0, "segment-0000_fixture",
+                                 sample_idx, ds.dataset_cfg["SEQUENCE_CONFIG"])
+    assert len(fused) > len(pts0), "past frames missing under subsampling"
 
 
 def test_full_train_step_on_fixture_frames(waymo_root):
