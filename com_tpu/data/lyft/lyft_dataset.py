@@ -101,8 +101,18 @@ class LyftDataset(DatasetTemplate):
             if info.get("lidar_path"):
                 gt_by_token.setdefault(Path(info["lidar_path"]).stem, info)
         gt_boxes, pred_boxes = [], []
+        seen_tokens = set()
         for anno in det_annos:
-            token = anno.get("metadata", {}).get("token", anno.get("frame_id"))
+            # dict.get's default only covers a MISSING key — metadata with
+            # token=None must still fall back to frame_id or every frame
+            # keys to None and scores against one frame's GT
+            token = anno.get("metadata", {}).get("token") or anno.get("frame_id")
+            if token in seen_tokens:
+                # wrap-padded multi-process eval repeats trailing samples;
+                # double-counting a frame's GT inflates the recall
+                # denominator and lets two predictions claim one object
+                continue
+            seen_tokens.add(token)
             boxes = np.asarray(anno["boxes_lidar"])
             for i in range(len(boxes)):
                 pred_boxes.append({

@@ -133,7 +133,10 @@ class NuScenesDataset(DatasetTemplate):
         kitti-style AP fallback (nuscenes_dataset.py:153-207 role)."""
         try:
             return self._nuscenes_official_eval(det_annos, class_names, **kwargs)
-        except ImportError:
+        except (ImportError, NotImplementedError):
+            # NotImplementedError: the official path assembles the devkit
+            # inputs but the final NuScenesEval invocation is declared
+            # unimplemented — the fallback must engage either way
             from ..kitti.kitti_eval import kitti_evaluation
 
             gt_annos = [copy.deepcopy(info.get("annos", {

@@ -25,28 +25,13 @@ class AnchorTargets(NamedTuple):
 
 
 def nearest_bev_iou(boxes_a, boxes_b):
-    """Axis-aligned BEV IoU after snapping headings to the nearest axis
-    (box_utils.boxes3d_nearest_bev_iou parity)."""
+    """Axis-aligned BEV IoU after snapping headings to the nearest axis —
+    ONE implementation: delegates to ops.iou.boxes_iou_aligned_bev
+    (box_utils.boxes3d_nearest_bev_iou parity, incl. the >= pi/4 swap
+    boundary a local copy had flipped)."""
+    from ...ops.iou import boxes_iou_aligned_bev
 
-    def to_aligned(b):
-        rot = b[..., 6] - jnp.floor(b[..., 6] / jnp.pi + 0.5) * jnp.pi  # [-pi/2, pi/2)
-        swap = jnp.abs(rot) > jnp.pi / 4
-        dx = jnp.where(swap, b[..., 4], b[..., 3])
-        dy = jnp.where(swap, b[..., 3], b[..., 4])
-        return jnp.stack(
-            [b[..., 0] - dx / 2, b[..., 1] - dy / 2, b[..., 0] + dx / 2, b[..., 1] + dy / 2],
-            axis=-1,
-        )
-
-    a = to_aligned(boxes_a)
-    b = to_aligned(boxes_b)
-    lt = jnp.maximum(a[:, None, :2], b[None, :, :2])
-    rb = jnp.minimum(a[:, None, 2:], b[None, :, 2:])
-    wh = jnp.clip(rb - lt, 0.0, None)
-    inter = wh[..., 0] * wh[..., 1]
-    area_a = ((a[:, 2] - a[:, 0]) * (a[:, 3] - a[:, 1]))[:, None]
-    area_b = ((b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1]))[None, :]
-    return inter / jnp.clip(area_a + area_b - inter, 1e-6, None)
+    return boxes_iou_aligned_bev(boxes_a, boxes_b, xp=jnp)
 
 
 def assign_anchors_single_class(
@@ -115,7 +100,9 @@ def atss_assign_targets(
         dist = jnp.where(gt_valid[None, :], dist, jnp.inf)
         _, topk_idx = jax.lax.top_k(-dist.T, topk)  # (M, K) anchor ids
         cand_iou = jnp.take_along_axis(iou.T, topk_idx, axis=1)  # (M, K)
-        thr = cand_iou.mean(1) + cand_iou.std(1) + 1e-6  # (M,)
+        # unbiased std like torch.std (reference ATSS target assigner);
+        # ddof=0 sits ~6% lower at topk=9 and admits extra positives
+        thr = cand_iou.mean(1) + cand_iou.std(1, ddof=1) + 1e-6  # (M,)
         is_pos = cand_iou >= thr[:, None]
 
         # candidate anchor centers inside the GT BEV rect
@@ -135,10 +122,14 @@ def atss_assign_targets(
         vals = jnp.where(
             is_pos.reshape(-1), iou[rows, cols], neg_inf)
         ious_inf = ious_inf.at[rows, cols].max(vals)
-        # force-match every GT's argmax-iou anchor
+        # force-match every GT's argmax-iou anchor — but only when it
+        # actually overlaps (gt_best > 0): an all-zero IoU column's argmax
+        # is anchor 0, which would become a positive toward a GT it never
+        # touches (mirrors the axis-aligned path's guard)
         gt_best_anchor = iou.argmax(axis=0)
+        gt_best = iou.max(axis=0)
         ious_inf = ious_inf.at[gt_best_anchor, jnp.arange(m)].max(
-            jnp.where(gt_valid, iou.max(axis=0), neg_inf))
+            jnp.where(gt_valid & (gt_best > 0), gt_best, neg_inf))
 
         best_val = ious_inf.max(axis=1)
         best_gt = ious_inf.argmax(axis=1)

@@ -212,9 +212,13 @@ def point_part_targets(points, gt_boxes, extra_width=(0.2, 0.2, 0.2)):
     return jax.vmap(one)(points, gt_boxes)
 
 
-def point_part_loss(batch, extra_width=(0.2, 0.2, 0.2)):
+def point_part_loss(batch, extra_width=(0.2, 0.2, 0.2), include_cls=True):
     """Focal fg loss + BCE part-offset loss (point_head_template
-    get_cls_layer_loss + get_part_layer_loss)."""
+    get_cls_layer_loss + get_part_layer_loss).
+
+    include_cls=False when the box branch's loss already supervised the
+    (shared) cls logits — the PartA2-free composition computes the cls
+    loss exactly once in the reference."""
     from ...losses.anchor_losses import sigmoid_ce_with_logits
 
     logits = batch["point_cls_scores_raw"]  # (B, S)
@@ -237,6 +241,8 @@ def point_part_loss(batch, extra_width=(0.2, 0.2, 0.2)):
     part_bce = sigmoid_ce_with_logits(part_logits, part_t)
     part_loss = (part_bce.mean(-1) * fg_mask).sum() / jnp.clip(
         fg_mask.sum(), 1.0, None)
+    if not include_cls:
+        return part_loss, {"point_loss_part": part_loss}
     return cls_loss + part_loss, {"point_loss_cls": cls_loss,
                                   "point_loss_part": part_loss}
 

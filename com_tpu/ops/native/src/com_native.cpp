@@ -46,10 +46,15 @@ int64_t voxelize(
     // 468x468x1); hash map for large 3D grids (SECOND 0.1 m voxels).
     const int64_t grid_cells = nx * ny * nz;
     const bool dense = grid_cells > 0 && grid_cells <= (int64_t)16 << 20;
-    std::vector<int32_t> grid_slot;
+    // thread_local reusable grid: a fresh assign() of up to 64 MB per call
+    // would dominate the dataloader hot path; instead the buffer persists
+    // per worker thread and only the cells TOUCHED this call are reset at
+    // the end (O(num_voxels), see cleanup below)
+    static thread_local std::vector<int32_t> grid_slot;
     std::unordered_map<int64_t, int64_t> voxel_of;
     if (dense) {
-        grid_slot.assign((size_t)grid_cells, -1);
+        if ((int64_t)grid_slot.size() < grid_cells)
+            grid_slot.assign((size_t)grid_cells, -1);
     } else {
         voxel_of.reserve((size_t)std::min<int64_t>(n, max_voxels) * 2);
     }
@@ -106,6 +111,16 @@ int64_t voxelize(
         if (cnt < max_points_per_voxel) {
             std::memset(voxels + (s * max_points_per_voxel + cnt) * f, 0,
                         sizeof(float) * (size_t)((max_points_per_voxel - cnt) * f));
+        }
+    }
+    if (dense) {
+        // reset only the touched cells so the thread_local grid is clean
+        // for the next call without a full 64 MB refill
+        for (int64_t s = 0; s < num_voxels; ++s) {
+            const int64_t iz = coords[s * 3 + 0];
+            const int64_t iy = coords[s * 3 + 1];
+            const int64_t ix = coords[s * 3 + 2];
+            grid_slot[(size_t)((iz * ny + iy) * nx + ix)] = -1;
         }
     }
     return num_voxels;

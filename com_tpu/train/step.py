@@ -456,13 +456,23 @@ def make_train_step(net, model_cfg, class_names, meta, tx, fmap_hw, seed=17):
                     out, model_cfg.get("POINT_HEAD", {}))
                 loss = loss + p_loss
                 tb.update(p_tb)
-            elif "point_part_logits" in out and "gt_boxes" in out:
+            # NOT elif: the PartA2-free composition emits BOTH the box
+            # branch (REG_FC) and the part offsets — an elif starved the
+            # part head of all supervision.  The cls logits are SHARED, so
+            # skip the part loss's cls term when the box loss already
+            # supervised them (reference computes cls once).
+            if "point_part_logits" in out and "gt_boxes" in out:
                 from ..models.dense_heads.point_head import point_part_loss
 
-                p_loss, p_tb = point_part_loss(out)
+                p_loss, p_tb = point_part_loss(
+                    out, include_cls="point_box_preds_raw" not in out)
                 loss = loss + p_loss
                 tb.update(p_tb)
-            elif "point_cls_scores_raw" in out and "gt_boxes" in out:
+            elif ("point_cls_scores_raw" in out and "gt_boxes" in out
+                  and "point_box_preds_raw" not in out):
+                # plain fg/bg point supervision (PointHeadSimple) — heads
+                # whose cls logits were already trained by the box or part
+                # loss above must not be counted again
                 from ..models.dense_heads.point_head import point_head_loss
 
                 p_loss = point_head_loss(out)
