@@ -64,6 +64,8 @@ class DataAugmentor:
     def random_world_rotation(self, config=None, **_):
         def fn(data_dict):
             rot_range = config["WORLD_ROT_ANGLE"]
+            if not isinstance(rot_range, (list, tuple)):
+                rot_range = [-rot_range, rot_range]  # reference scalar form
             gt, pts, angle = transforms.global_rotation(
                 data_dict["gt_boxes"], data_dict["points"], rot_range,
                 rng=self.rng, return_param=True,
@@ -101,9 +103,12 @@ class DataAugmentor:
 
     def random_local_rotation(self, config=None, **_):
         def fn(data_dict):
+            rot_range = config["LOCAL_ROT_ANGLE"]
+            if not isinstance(rot_range, (list, tuple)):
+                rot_range = [-rot_range, rot_range]  # reference scalar form
             gt, pts = transforms.random_local_rotation(
                 data_dict["gt_boxes"], data_dict["points"],
-                config["LOCAL_ROT_ANGLE"], rng=self.rng,
+                rot_range, rng=self.rng,
             )
             data_dict["gt_boxes"], data_dict["points"] = gt, pts
             return data_dict

@@ -107,6 +107,10 @@ def random_local_rotation(gt_boxes, points, rot_range, rng=np.random):
 
 
 def random_local_scaling(gt_boxes, points, scale_range, rng=np.random):
+    # degenerate range consumes NO draws (local_scaling early return) —
+    # drawing anyway would desynchronize the shared seed-parity stream
+    if scale_range[1] - scale_range[0] < 1e-3:
+        return gt_boxes, points
     for i in range(len(gt_boxes)):
         scale = rng.uniform(scale_range[0], scale_range[1])
         mask = _points_in_box_margin(points, gt_boxes[i])
@@ -189,11 +193,14 @@ def random_local_sparsify(gt_boxes, points, drop_prob, rng=np.random):
 
 
 def random_local_translation(gt_boxes, points, offset_range, axes, rng=np.random):
-    for i in range(len(gt_boxes)):
-        mask = _points_in_box_margin(points, gt_boxes[i])
-        for ax in axes:
+    """AXIS-major like the reference (random_local_translation_along_x over
+    every box, then along_y): the RNG draws and the box-membership masks
+    are both per (axis, box), keeping the seed-parity stream bit-exact."""
+    for ax in axes:
+        j = {"x": 0, "y": 1, "z": 2}[ax]
+        for i in range(len(gt_boxes)):
             d = rng.uniform(offset_range[0], offset_range[1])
-            j = {"x": 0, "y": 1, "z": 2}[ax]
+            mask = _points_in_box_margin(points, gt_boxes[i])
             points[mask, j] += d
             gt_boxes[i, j] += d
     return gt_boxes, points

@@ -63,9 +63,15 @@ class DataProcessor:
             and cfg.get("REMOVE_OUTSIDE_BOXES", False)
             and self.training
         ):
-            keep = mask_boxes_outside_range(
-                data_dict["gt_boxes"], pr, min_num_corners=cfg.get("min_num_corners", 1)
-            )
+            if cfg.get("USE_CENTER_TO_FILTER", True):
+                # reference default (box_utils.mask_boxes_outside_range_numpy
+                # use_center_to_filter=True): center inside ALL 3 axes
+                b = np.asarray(data_dict["gt_boxes"])[:, :3]
+                keep = ((b >= pr[0:3]) & (b <= pr[3:6])).all(axis=-1)
+            else:
+                keep = mask_boxes_outside_range(
+                    data_dict["gt_boxes"], pr,
+                    min_num_corners=cfg.get("min_num_corners", 1))
             filter_gt_arrays(data_dict, keep)
         return data_dict
 
@@ -128,7 +134,12 @@ class DataProcessor:
             self.rng.shuffle(choice)
         else:
             choice = np.arange(len(points))
-            extra = self.rng.choice(choice, num - len(points), replace=True)
+            deficit = num - len(points)
+            # reference draws WITHOUT replacement (data_processor.py:181);
+            # only fall back to replacement when the deficit exceeds the
+            # point count (where replace=False would raise)
+            extra = self.rng.choice(choice, deficit,
+                                    replace=deficit > len(points))
             choice = np.concatenate([choice, extra])
             self.rng.shuffle(choice)
         data_dict["points"] = points[choice]

@@ -29,7 +29,10 @@ class PointPillarScatter(nn.Module):
         flat = jnp.where(valid, coords[..., 1] * nx + coords[..., 2], nx * ny)
         canvas = jnp.zeros((b, nx * ny + 1, c), feats.dtype)
         bidx = jnp.broadcast_to(jnp.arange(b)[:, None], (b, v))
-        canvas = canvas.at[bidx, flat].max(
+        # .set, not .max: hard-voxelized pillar ids are unique per sample,
+        # and a max against the zero canvas would clip negative channels
+        # (MeanVFE-style signed features) to 0
+        canvas = canvas.at[bidx, flat].set(
             feats * valid[..., None].astype(feats.dtype)
         )
         batch["spatial_features"] = constrain(

@@ -4,7 +4,8 @@ RoI-aware pooling of (a) part offsets + seg score (avg pool) and (b) UNet
 point features (max pool) into a POOL_SIZE^3 canonical grid per RoI; two
 small 3D conv stacks (the reference's sparse convs over the pooled grid are
 expressed as dense convs + non-empty masking — identical math since empty
-cells are zero); strided sparse-pool merge, shared FCs, cls/reg branches.
+cells are zero); the full pooled grid flattens into shared FCs and cls/reg
+branches, like the reference.
 """
 from __future__ import annotations
 
@@ -19,19 +20,14 @@ from ..layers import MaskedBatchNorm
 
 class Conv3DBNReLU(nn.Module):
     out_channels: int
-    stride: int = 1
 
     @nn.compact
     def __call__(self, x, mask, train: bool):
         # x (N, D, H, W, C); mask (N, D, H, W) non-empty cells
-        x = nn.Conv(self.out_channels, (3, 3, 3),
-                    strides=(self.stride,) * 3, padding="SAME",
+        x = nn.Conv(self.out_channels, (3, 3, 3), padding="SAME",
                     use_bias=False)(x)
-        if self.stride == 1:
-            x = x * mask[..., None].astype(x.dtype)  # submanifold masking
-        x = MaskedBatchNorm()(
-            x, mask=mask if self.stride == 1 else None,
-            use_running_average=not train)
+        x = x * mask[..., None].astype(x.dtype)  # submanifold masking
+        x = MaskedBatchNorm()(x, mask=mask, use_running_average=not train)
         return nn.relu(x)
 
 
@@ -81,26 +77,30 @@ class PartA2FCHead(nn.Module):
         x_rpn = Conv3DBNReLU(c0, name="conv_rpn_1")(x_rpn, nonempty, train)
 
         merged = jnp.concatenate([x_rpn, x_part], axis=-1)  # (BR, ps^3 grid, NF)
-        # stride-2 sparse max-pool before the FCs (reference flattens the
-        # dense ps^3 grid; pool to ps/2 keeps the FC width manageable and is
-        # noted as a deviation when POOL_BEFORE_FC is set)
+        # the full dense ps^3 grid flattens into the shared FCs, exactly
+        # like the reference partA2_head
         x = merged.reshape(br, -1)
 
-        for i, ch in enumerate(list(cfg.get("SHARED_FC", [256, 256]))):
+        dp = float(cfg.get("DP_RATIO", 0.0))
+        shared_fc = list(cfg.get("SHARED_FC", [256, 256]))
+        for i, ch in enumerate(shared_fc):
             x = nn.Dense(ch, use_bias=False, name=f"shared_fc_{i}")(x)
             x = MaskedBatchNorm(name=f"shared_bn_{i}")(
                 x, use_running_average=not train)
             x = nn.relu(x)
-            if i != len(cfg.get("SHARED_FC", [])) - 1 and cfg.get("DP_RATIO", 0) > 0:
-                x = nn.Dropout(float(cfg["DP_RATIO"]),
-                               deterministic=not train)(x)
+            if i != len(shared_fc) - 1 and dp > 0:  # never after the last
+                x = nn.Dropout(dp, deterministic=not train)(x)
 
         def fc_branch(x, fcs, out_ch, name):
+            # make_fc_layers parity: Dropout(DP_RATIO) after the FIRST
+            # branch layer (roi_head_template.py:39-40)
             for i, ch in enumerate(fcs):
                 x = nn.Dense(ch, use_bias=False, name=f"{name}_fc_{i}")(x)
                 x = MaskedBatchNorm(name=f"{name}_bn_{i}")(
                     x, use_running_average=not train)
                 x = nn.relu(x)
+                if dp > 0 and i == 0:
+                    x = nn.Dropout(dp, deterministic=not train)(x)
             return nn.Dense(out_ch, name=f"{name}_out")(x)
 
         rcnn_cls = fc_branch(x, list(cfg.get("CLS_FC", [256, 256])),

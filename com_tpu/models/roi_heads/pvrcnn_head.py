@@ -19,6 +19,23 @@ from ..layers import MaskedBatchNorm
 from ..pfe import PointNetBlock
 
 
+def _fc_branch(cfg, x, out_ch: int, name: str, train: bool):
+    """CLS_FC / REG_FC branch stack + output layer, reference
+    make_fc_layers parity (roi_head_template.py:29-43): Dense+BN+ReLU per
+    entry with Dropout(DP_RATIO) after the FIRST layer only, then the
+    biased output Dense.  An empty/absent FC list degrades to the bare
+    output layer."""
+    dp = float(cfg.get("DP_RATIO", 0.0))
+    for i, ch in enumerate(list(cfg.get(f"{name.upper()}_FC", []))):
+        x = nn.Dense(ch, use_bias=False, name=f"{name}_fc_{i}")(x)
+        x = MaskedBatchNorm(name=f"{name}_bn_{i}")(
+            x, use_running_average=not train)
+        x = nn.relu(x)
+        if dp > 0 and i == 0:
+            x = nn.Dropout(dp, deterministic=not train)(x)
+    return nn.Dense(out_ch, name=f"rcnn_{name}")(x)
+
+
 def roi_grid_points(rois, grid_size: int):
     """(R, 7) rois -> (R, G^3, 3) world-frame grid point coordinates."""
     g = grid_size
@@ -77,8 +94,9 @@ class PVRCNNHead(nn.Module):
                 x, use_running_average=not train
             )
             x = nn.relu(x)
-        batch["rcnn_cls"] = nn.Dense(self.num_class, name="rcnn_cls")(x)[..., 0]
-        batch["rcnn_reg"] = nn.Dense(code_size, name="rcnn_reg")(x)
+        batch["rcnn_cls"] = _fc_branch(
+            cfg, x, self.num_class, "cls", train)[..., 0]
+        batch["rcnn_reg"] = _fc_branch(cfg, x, code_size, "reg", train)
         return batch
 
 
@@ -145,6 +163,7 @@ class PVRCNNPlusPlusHead(nn.Module):
             x = MaskedBatchNorm(name=f"shared_bn_{i}")(
                 x, use_running_average=not train)
             x = nn.relu(x)
-        batch["rcnn_cls"] = nn.Dense(self.num_class, name="rcnn_cls")(x)[..., 0]
-        batch["rcnn_reg"] = nn.Dense(7, name="rcnn_reg")(x)
+        batch["rcnn_cls"] = _fc_branch(
+            cfg, x, self.num_class, "cls", train)[..., 0]
+        batch["rcnn_reg"] = _fc_branch(cfg, x, 7, "reg", train)
         return batch

@@ -88,5 +88,7 @@ def scatter_to_bev(
     """
     c = pillar_features.shape[-1]
     canvas = jnp.zeros((h * w + 1, c), dtype=pillar_features.dtype)
-    canvas = canvas.at[flat_ids].max(pillar_features)
+    # .set, not .max: pillar ids are unique per sample and a max against
+    # the zero canvas would clip negative (signed) features to 0
+    canvas = canvas.at[flat_ids].set(pillar_features)
     return canvas[:-1].reshape(h, w, c)
