@@ -124,18 +124,25 @@ def main():
         timeit(f"rowmm  fwd x{n} {tag}", jax.jit(chain2_rowmm), x, k,
                flops=n * fl)
 
+        # grad wrt k with x as an ARGUMENT (argnums=1): closing over x would
+        # bake a hundreds-of-MB constant into the jaxpr, which the axon
+        # remote-compile tunnel rejects (HTTP 413 body-length limit)
         gp = jax.jit(jax.grad(
-            lambda k: (chain2_pallas(x, k).astype(jnp.float32) ** 2).mean()))
+            lambda x, k: (chain2_pallas(x, k).astype(jnp.float32) ** 2).mean(),
+            argnums=1))
         gx = jax.jit(jax.grad(
-            lambda k: (chain2_xla(x, k).astype(jnp.float32) ** 2).mean()))
+            lambda x, k: (chain2_xla(x, k).astype(jnp.float32) ** 2).mean(),
+            argnums=1))
         gs = jax.jit(jax.grad(
-            lambda k: (chain2_shiftmm(x, k).astype(jnp.float32) ** 2).mean()))
+            lambda x, k: (chain2_shiftmm(x, k).astype(jnp.float32) ** 2).mean(),
+            argnums=1))
         gr = jax.jit(jax.grad(
-            lambda k: (chain2_rowmm(x, k).astype(jnp.float32) ** 2).mean()))
-        timeit(f"pallas fwd+bwd {tag}", gp, k, flops=3 * n * fl)
-        timeit(f"xla    fwd+bwd {tag}", gx, k, flops=3 * n * fl)
-        timeit(f"shftmm fwd+bwd {tag}", gs, k, flops=3 * n * fl)
-        timeit(f"rowmm  fwd+bwd {tag}", gr, k, flops=3 * n * fl)
+            lambda x, k: (chain2_rowmm(x, k).astype(jnp.float32) ** 2).mean(),
+            argnums=1))
+        timeit(f"pallas fwd+bwd {tag}", gp, x, k, flops=3 * n * fl)
+        timeit(f"xla    fwd+bwd {tag}", gx, x, k, flops=3 * n * fl)
+        timeit(f"shftmm fwd+bwd {tag}", gs, x, k, flops=3 * n * fl)
+        timeit(f"rowmm  fwd+bwd {tag}", gr, x, k, flops=3 * n * fl)
 
         # parity of the matmul formulations vs the XLA conv oracle
         rr = jax.jit(lambda x, k: conv3x3(x, k, "cpu"))(x, k)

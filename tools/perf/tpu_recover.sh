@@ -19,7 +19,7 @@ TS=$(date +%Y%m%d_%H%M%S)
 cd "$REPO"
 
 echo "[1/5] probing tunnel..."
-if ! timeout 75 python -c "import jax, jax.numpy as jnp; print(float(jax.jit(lambda x: x * 2)(jnp.ones((8, 8)))[0, 0])); print(jax.devices())"; then
+if ! timeout 180 python -c "import jax, jax.numpy as jnp; print(float(jax.jit(lambda x: x * 2)(jnp.ones((8, 8)))[0, 0])); print(jax.devices())"; then
   echo "tunnel still wedged; aborting (nothing written)"
   exit 1
 fi
