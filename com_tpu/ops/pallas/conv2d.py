@@ -350,6 +350,15 @@ def _spatial_or_model_sharded():
 
 def _dispatch(force):
     backend = force or jax.default_backend()
+    # COM_TPU_CONV=xla routes every conv3x3 through XLA's conv emitter even
+    # on TPU — the A/B switch for the fusion-barrier question: the Pallas
+    # custom call can't absorb the model's ~36 BN+ReLU epilogues (profiled
+    # ~3.6k standalone HLO ops from normalization), XLA's conv can.
+    # Measured end-to-end on the v5e (2026-08-18, full COM train step,
+    # batch 2 @ 468x468): 11.639 (xla) vs 11.628 (pallas) scenes/sec — a
+    # tie; epilogue fusion does not move the step.  Pallas stays default.
+    if backend == "tpu" and os.environ.get("COM_TPU_CONV", "").lower() == "xla":
+        return "cpu"
     if backend == "tpu" and (not _pallas_conv_supported()
                              or _spatial_or_model_sharded()):
         return "cpu"  # XLA conv path

@@ -43,12 +43,15 @@ def timeit(name, fn, *a, iters=10, flops=0):
 
 
 def main():
-    rng = np.random.RandomState(0)
     for m, k, n, note in SHAPES:
-        a = jnp.asarray(rng.randn(m, k).astype(np.float32) * 0.1
-                        ).astype(jnp.bfloat16)
-        b = jnp.asarray(rng.randn(k, n).astype(np.float32) * 0.1
-                        ).astype(jnp.bfloat16)
+        # generate ON DEVICE: the axon tunnel moves ~3 MB/s host->device,
+        # so transferring a (438048, 3456) bf16 operand would take ~15 min
+        a = jax.jit(lambda: (jax.random.normal(
+            jax.random.PRNGKey(0), (m, k), jnp.float32) * 0.1
+        ).astype(jnp.bfloat16))()
+        b = jax.jit(lambda: (jax.random.normal(
+            jax.random.PRNGKey(1), (k, n), jnp.float32) * 0.1
+        ).astype(jnp.bfloat16))()
 
         def mm(a, b):
             return jax.lax.dot_general(
