@@ -76,6 +76,55 @@ def main():
     full_fwd = jax.jit(full_fwd)
     timeit("model fwd only", lambda: full_fwd(variables, batch))
 
+    # full model fwd+bwd at full-graph granularity (surrogate scalar over all
+    # outputs, grad wrt params): subtracting this and the loss/optimizer
+    # timings below from the full step attributes the residual without the
+    # per-stage fusion mismatch
+    def fwd_loss(params, b):
+        v = {"params": params, "batch_stats": variables["batch_stats"]}
+        out, _ = net.apply(v, dict(b), train=True, mutable=["batch_stats"])
+        leaves = [x.astype(jnp.float32).sum() for x in
+                  jax.tree_util.tree_leaves(out)
+                  if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)]
+        return sum(leaves)
+    full_bwd = jax.jit(jax.grad(fwd_loss))
+    timeit("model fwd+bwd (param grads)",
+           lambda: full_bwd(variables["params"], batch))
+
+    # loss tail on frozen model outputs: target assignment + focal/reg loss +
+    # curriculum statistics, fwd and fwd+grad-wrt-predictions
+    from com_tpu.train.step import (compute_centerpoint_loss, is_anchor_head)
+    if not is_anchor_head(cfg.MODEL) and "DENSE_HEAD" in cfg.MODEL:
+        out_full, _ = jax.jit(lambda v, b: net.apply(
+            v, dict(b), train=True, mutable=["batch_stats"]))(variables, batch)
+        preds0 = out_full["pred_dicts"]
+        fixed = {k: v for k, v in out_full.items()
+                 if k in ("gt_boxes", "num_points_in_gt", "true_object",
+                          "occupancy_ratio", "facade_type")}
+        state_cur = state.curriculum
+
+        def loss_only(pred_dicts):
+            b = dict(fixed)
+            b["pred_dicts"] = pred_dicts
+            loss, _, _, _ = compute_centerpoint_loss(
+                b, cfg.MODEL, list(cfg.CLASS_NAMES), meta, state_cur, 0,
+                (grid[1], grid[0]))
+            return loss
+        lf = jax.jit(loss_only)
+        lg = jax.jit(jax.grad(loss_only))
+        timeit("loss+assign fwd", lambda: lf(preds0))
+        timeit("loss+assign fwd+bwd", lambda: lg(preds0))
+
+    # optimizer alone: tx.update + param add on a frozen grads pytree
+    grads0 = full_bwd(variables["params"], batch)
+
+    def opt_only(params, opt_state, grads):
+        updates, new_opt = tx.update(grads, opt_state, params)
+        return jax.tree.map(lambda p, u: p + u, params, updates), new_opt
+    of = jax.jit(opt_only)
+    timeit("optimizer (clip+adam+apply)",
+           lambda: of(state.params, state.opt_state, grads0)[0])
+
     # --- stage timings: each stage module applied standalone against its
     # sub-tree of the full variables (flax auto-names nested modules
     # "<ClassName>_<i>", so the sub-tree keys line up with the standalone
