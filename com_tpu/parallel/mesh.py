@@ -93,3 +93,35 @@ def shard_state(state, mesh: Mesh):
         lambda p, x: jax.device_put(
             x, NamedSharding(mesh, _leaf_spec(p, x, m))),
         state)
+
+
+def init_multihost(tcp_port: int | None = None):
+    """Initialize jax.distributed for multi-host runs.
+
+    Mirrors the reference's two launchers (common_utils.py:144-186):
+    * under SLURM (``SLURM_PROCID`` set) with an explicit ``tcp_port``,
+      derive the coordinator from the first node of the step's node list via
+      ``scontrol show hostname`` — the reference's init_dist_slurm
+      (common_utils.py:154-168) does exactly this for NCCL;
+    * otherwise defer to ``jax.distributed.initialize()`` auto-detection
+      (TPU pod runtime / cloud metadata / jax's own SLURM detector).
+    """
+    import os
+    import subprocess
+
+    if os.environ.get("SLURM_PROCID") is not None and tcp_port:
+        proc_id = int(os.environ["SLURM_PROCID"])
+        ntasks = int(os.environ["SLURM_NTASKS"])
+        node_list = os.environ.get("SLURM_STEP_NODELIST",
+                                   os.environ.get("SLURM_NODELIST", ""))
+        addr = subprocess.run(
+            ["scontrol", "show", "hostname", node_list],
+            check=True, capture_output=True, text=True,
+        ).stdout.splitlines()[0].strip()
+        jax.distributed.initialize(
+            coordinator_address=f"{addr}:{int(tcp_port)}",
+            num_processes=ntasks, process_id=proc_id,
+        )
+        return proc_id, ntasks
+    jax.distributed.initialize()
+    return jax.process_index(), jax.process_count()

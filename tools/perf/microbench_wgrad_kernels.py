@@ -9,13 +9,18 @@ quarter-MXU utilization at best, plus whatever layout fixups Mosaic inserts
 for the double-dim0 contraction.
 
 Variants measured here (all accumulate dw across the (B, H/TH) grid):
-  v0      nine (K,cin)^T (K,cout) dots           [current kernel, via module]
+  gt9     nine dots with the TRANSPOSED x tile pre-staged in VMEM (default)
+  gtcol   transposed-x staging + the nine taps as one column-buffer dot
+          (default)
   gcol    ONE dot: x (K,cin) vs g_col (K,9*cout) -> (cin, 9*cout): the nine
           taps become lanes of the rhs (g shifted per tap into a VMEM col
-          buffer), so N = 576 full lanes instead of 64
+          buffer), so N = 576 full lanes instead of 64   [WG_COL=1]
   xcol    ONE dot: x_col (K,9*cin) vs g (K,cout) -> (9*cin, cout): taps in
-          the lhs; output M=576 tall but N=64 stays narrow
-All are numerically checked on-device against an f32 einsum oracle.
+          the lhs; output M=576 tall but N=64 stays narrow   [WG_COL=1]
+  v0      nine (K,cin)^T (K,cout) dots           [current kernel; WG_V0=1]
+main() runs gt9/gtcol by default; set WG_COL=1 to add gcol/xcol, WG_V0=1 to
+add v0, WG_ITERS=N to change the timed loop count.  All variants are
+numerically checked on-device against an f32 einsum oracle.
 """
 from __future__ import annotations
 
@@ -242,16 +247,16 @@ def oracle(x, g):
 def timeit(name, fn, *a, flops=0):
     try:
         out = jax.block_until_ready(fn(*a))
-    except Exception as e:  # compile OOM etc — record and move on
+        t0 = time.perf_counter()
+        for _ in range(ITERS):
+            out = fn(*a)
+        jax.block_until_ready(out)
+    except Exception as e:  # compile OOM or async dispatch error — record
         print(f"{name:36s} FAILED: {str(e).splitlines()[0][:90]}", flush=True)
         return None, float("inf")
-    t0 = time.perf_counter()
-    for _ in range(ITERS):
-        out = fn(*a)
-    jax.block_until_ready(out)
     dt = (time.perf_counter() - t0) / ITERS
     rate = flops / dt / 1e12 if flops else 0.0
-    print(f"{name:36s} {dt*1e3:8.3f} ms  {rate:6.1f} TFLOPs", flush=True)
+    print(f"{name:36s} {dt*1e3:8.3f} ms  {rate:6.1f} TFLOP/s", flush=True)
     return out, dt
 
 

@@ -33,8 +33,18 @@ def parse_config():
     parser.add_argument("--save_to_file", action="store_true",
                         help="write detection results to result.pkl")
     parser.add_argument("--output_dir", type=str, default=None)
+    parser.add_argument("--multihost", action="store_true",
+                        help="initialize jax.distributed (multi-host eval; "
+                             "role of the reference's --launcher slurm)")
+    parser.add_argument("--tcp_port", type=int, default=None,
+                        help="coordinator port for SLURM launches")
     parser.add_argument("--set", dest="set_cfgs", default=None, nargs=argparse.REMAINDER)
     args = parser.parse_args()
+
+    if args.multihost:
+        from com_tpu.parallel.mesh import init_multihost
+
+        init_multihost(args.tcp_port)
 
     from com_tpu.utils.config import CfgNode, cfg_from_list, cfg_from_yaml_file
 

@@ -44,13 +44,16 @@ def parse_config():
                         help="initialize jax.distributed (TPU pod slices / "
                              "multi-host; replaces the reference's "
                              "dist_train.sh NCCL launch)")
+    parser.add_argument("--tcp_port", type=int, default=None,
+                        help="coordinator port for SLURM launches (role of "
+                             "the reference's --tcp_port, train.py:29)")
     parser.add_argument("--set", dest="set_cfgs", default=None, nargs=argparse.REMAINDER)
     args = parser.parse_args()
 
     if args.multihost:
-        import jax
+        from com_tpu.parallel.mesh import init_multihost
 
-        jax.distributed.initialize()
+        init_multihost(args.tcp_port)
 
     from com_tpu.utils.config import CfgNode, cfg_from_list, cfg_from_yaml_file
 
