@@ -31,12 +31,17 @@ class SparseConvBlock(nn.Module):
     out_channels: int
     stride: tuple | None = None  # None -> submanifold
     out_cap: int | None = None
-    kernel: int = 3
+    kernel: int | tuple = 3  # per-axis (kz, ky, kx) for strided convs
+    pad: int | tuple = 1  # spconv padding (conv4 uses (0,1,1), conv_out 0)
+    use_bias: bool = False  # SparseBasicBlock convs carry a bias
+    relu: bool = True  # res blocks relu AFTER the identity add
 
     @nn.compact
     def __call__(self, feats, coords, valid, grid_zyx, train: bool):
         cin = feats.shape[-1]
-        k3 = self.kernel**3
+        ker = ((self.kernel,) * 3 if isinstance(self.kernel, int)
+               else tuple(int(k) for k in self.kernel))
+        k3 = ker[0] * ker[1] * ker[2]
         w = self.param(
             "kernel",
             nn.initializers.variance_scaling(1.0, "fan_in", "normal"),
@@ -44,29 +49,43 @@ class SparseConvBlock(nn.Module):
             jnp.float32,
         )
         if self.stride is None:
+            assert ker[0] == ker[1] == ker[2], "submanifold kernels are cubic"
             out = jax.vmap(
-                lambda f, c, v: sp.submanifold_conv3d(f, c, v, w, grid_zyx, self.kernel)
+                lambda f, c, v: sp.submanifold_conv3d(f, c, v, w, grid_zyx, ker[0])
             )(feats, coords, valid)
             ncoords, nvalid, ngrid = coords, valid, grid_zyx
         else:
             out, ncoords, nvalid, _ = jax.vmap(
                 lambda f, c, v: sp.strided_conv3d(
-                    f, c, v, w, grid_zyx, self.out_cap, self.stride, self.kernel
+                    f, c, v, w, grid_zyx, self.out_cap, self.stride, ker,
+                    pad=self.pad,
                 )
             )(feats, coords, valid)
-            sz, sy, sx = self.stride
-            ngrid = (
-                (int(grid_zyx[0]) + sz - 1) // sz,
-                (int(grid_zyx[1]) + sy - 1) // sy,
-                (int(grid_zyx[2]) + sx - 1) // sx,
+            # spconv output extent: (g + 2p - k)//s + 1 per axis — NOT
+            # ceil(g/s); conv4's z-pad 0 and conv_out's (3,1,1) kernel
+            # genuinely shrink z (spconv_backbone.py:104-116 comments)
+            pd = ((self.pad,) * 3 if isinstance(self.pad, int)
+                  else tuple(int(p) for p in self.pad))
+            ngrid = tuple(
+                (int(grid_zyx[a]) + 2 * pd[a] - ker[a]) // self.stride[a] + 1
+                for a in range(3)
             )
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros,
+                           (self.out_channels,), jnp.float32)
+            out = out + b
         out = MaskedBatchNorm()(out, mask=nvalid, use_running_average=not train)
-        out = nn.relu(out) * nvalid[..., None].astype(out.dtype)
+        if self.relu:
+            out = nn.relu(out)
+        out = out * nvalid[..., None].astype(out.dtype)
         return out, ncoords, nvalid, ngrid
 
 
 class SparseResBlock(nn.Module):
-    """Residual pair of submanifold convs (VoxelResBackBone8x basic block)."""
+    """Residual pair of submanifold convs (SparseBasicBlock,
+    spconv_backbone.py:30-67): conv1(+bias)+bn+relu -> conv2(+bias)+bn ->
+    add identity -> relu.  The reference's convs carry biases (bias =
+    norm_fn is not None) and the final relu runs AFTER the identity add."""
 
     channels: int
 
@@ -75,13 +94,15 @@ class SparseResBlock(nn.Module):
         identity = feats
         if identity.shape[-1] != self.channels:  # 1x1 projection shortcut
             identity = nn.Dense(self.channels, use_bias=False, name="proj")(identity)
-        x, *_ = SparseConvBlock(self.channels, name="conv1")(
+        x, *_ = SparseConvBlock(self.channels, use_bias=True, name="conv1")(
             feats, coords, valid, grid_zyx, train
         )
-        x, *_ = SparseConvBlock(self.channels, name="conv2")(
+        x, *_ = SparseConvBlock(self.channels, use_bias=True, relu=False,
+                                name="conv2")(
             x, coords, valid, grid_zyx, train
         )
-        return x + identity, coords, valid, grid_zyx
+        out = nn.relu(x + identity) * valid[..., None].astype(x.dtype)
+        return out, coords, valid, grid_zyx
 
 
 @BACKBONES_3D.register
@@ -92,9 +113,12 @@ class VoxelBackBone8x(nn.Module):
     voxel_size: tuple
     point_cloud_range: tuple
 
-    # subclass hook: submanifold stage body
+    # subclass hooks: submanifold stage body + default channel ladder
     def _stage_block(self, ch, name):
         return SparseConvBlock(ch, name=name)
+
+    _default_channels = (16, 32, 64, 64)  # spconv_backbone.py:85-110
+    _stage1_depth = 1  # conv1 = one subm block (:85-87); res variant has two
 
     @nn.compact
     def __call__(self, batch, train: bool = True):
@@ -113,17 +137,25 @@ class VoxelBackBone8x(nn.Module):
         caps = self.model_cfg.get(
             "VOXEL_CAPS", [v, v, max(v // 2, 1), max(v // 4, 1)]
         )
-        chans = self.model_cfg.get("CHANNELS", [16, 32, 64, 128])
+        chans = self.model_cfg.get("CHANNELS", list(self._default_channels))
+        out_ch = int(self.model_cfg.get("OUT_CHANNELS", 128))
 
         multi = {}
-        x, coords, valid, grid = self._stage_block(chans[0], "subm0_0")(
+        x, coords, valid, grid = SparseConvBlock(chans[0], name="subm0_0")(
             x, coords, valid, grid, train
-        )
+        )  # conv_input
+        for i in range(self._stage1_depth):  # conv1
+            x, coords, valid, grid = self._stage_block(
+                chans[0], f"subm0_{i + 1}"
+            )(x, coords, valid, grid, train)
         multi["x_conv1"] = (x, coords, valid, grid)
         for blk in range(1, 4):
+            # conv4's strided conv pads (0,1,1) — z shrinks by the full
+            # kernel extent (spconv_backbone.py:104-108)
+            pad = (0, 1, 1) if blk == 3 else 1
             x, coords, valid, grid = SparseConvBlock(
                 chans[blk], stride=(2, 2, 2), out_cap=int(caps[blk]),
-                name=f"down{blk}",
+                pad=pad, name=f"down{blk}",
             )(x, coords, valid, grid, train)
             for i in range(2):
                 x, coords, valid, grid = self._stage_block(
@@ -131,9 +163,12 @@ class VoxelBackBone8x(nn.Module):
                 )(x, coords, valid, grid, train)
             multi[f"x_conv{blk + 1}"] = (x, coords, valid, grid)
 
-        # conv_out: z-stride compression (spconv_backbone.py final conv)
+        # conv_out: (3,1,1) kernel, (2,1,1) stride, pad 0 — z-compression to
+        # D=2 planes (spconv_backbone.py:111-118 "[200, 150, 5] -> [...,2]")
         x, coords, valid, grid = SparseConvBlock(
-            chans[3], stride=(2, 1, 1), out_cap=int(caps[3]), name="conv_out"
+            out_ch, stride=(2, 1, 1), kernel=(3, 1, 1),
+            pad=int(self.model_cfg.get("last_pad", 0)),
+            out_cap=int(caps[3]), name="conv_out",
         )(x, coords, valid, grid, train)
         dense = jax.vmap(lambda f, c, m: sp.scatter_to_dense(f, c, m, grid))(
             x, coords, valid
@@ -146,7 +181,11 @@ class VoxelBackBone8x(nn.Module):
 
 @BACKBONES_3D.register
 class VoxelResBackBone8x(VoxelBackBone8x):
-    """Residual variant (spconv_backbone.py VoxelResBackBone8x role)."""
+    """Residual variant (spconv_backbone.py:183-240): two SparseBasicBlocks
+    per stage body, channel ladder 16/32/64/128."""
+
+    _default_channels = (16, 32, 64, 128)
+    _stage1_depth = 2
 
     def _stage_block(self, ch, name):
         return SparseResBlock(ch, name=name)
@@ -289,15 +328,19 @@ class VoxelBackBone8xFocal(VoxelBackBone8x):
         grid = (nz + 1, ny, nx)
         caps = self.model_cfg.get(
             "VOXEL_CAPS", [v, max(v // 2, 1), max(v // 4, 1), max(v // 8, 1)])
-        chans = self.model_cfg.get("CHANNELS", [16, 32, 64, 128])
+        chans = self.model_cfg.get("CHANNELS", list(self._default_channels))
+        out_ch = int(self.model_cfg.get("OUT_CHANNELS", 128))
         focal_stages = set(self.model_cfg.get("FOCAL_STAGES", [0, 1]))
         thr = float(self.model_cfg.get("FOCAL_THRESHOLD", 0.5))
         spawn = int(self.model_cfg.get("SPAWN_CAP", max(v // 4, 64)))
 
         probs, pcoords, pvalid, strides = [], [], [], []
         multi = {}
-        x, coords, valid, grid = self._stage_block(chans[0], "subm0_0")(
+        x, coords, valid, grid = SparseConvBlock(chans[0], name="subm0_0")(
             x, coords, valid, grid, train)
+        for i in range(self._stage1_depth):  # conv1
+            x, coords, valid, grid = self._stage_block(
+                chans[0], f"subm0_{i + 1}")(x, coords, valid, grid, train)
 
         use_img = bool(self.model_cfg.get("USE_IMG", False)) and \
             "images" in batch
@@ -351,6 +394,7 @@ class VoxelBackBone8xFocal(VoxelBackBone8x):
         for blk in range(1, 4):
             x, coords, valid, grid = SparseConvBlock(
                 chans[blk], stride=(2, 2, 2), out_cap=int(caps[blk]),
+                pad=(0, 1, 1) if blk == 3 else 1,
                 name=f"down{blk}")(x, coords, valid, grid, train)
             for i in range(2):
                 x, coords, valid, grid = self._stage_block(
@@ -366,7 +410,9 @@ class VoxelBackBone8xFocal(VoxelBackBone8x):
             multi[f"x_conv{blk + 1}"] = (x, coords, valid, grid)
 
         x, coords, valid, grid = SparseConvBlock(
-            chans[3], stride=(2, 1, 1), out_cap=int(caps[3]), name="conv_out"
+            out_ch, stride=(2, 1, 1), kernel=(3, 1, 1),
+            pad=int(self.model_cfg.get("last_pad", 0)),
+            out_cap=int(caps[3]), name="conv_out",
         )(x, coords, valid, grid, train)
         dense = jax.vmap(lambda f, c, m: sp.scatter_to_dense(f, c, m, grid))(
             x, coords, valid)

@@ -25,6 +25,9 @@ class SeparateHead(nn.Module):
     sep_head_dict: dict
     init_bias: float = -2.19
     dtype: object = None
+    # reference SeparateHead convs carry a bias when USE_BIAS_BEFORE_NORM
+    # (center_head.py:12-28) and their BNs use the torch default eps 1e-5
+    use_bias: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -39,6 +42,7 @@ class SeparateHead(nn.Module):
             h = x
             for _ in range(spec["num_conv"] - 1):
                 h = ConvBNReLU(x.shape[-1], kernel=3, dtype=self.dtype,
+                               use_bias=self.use_bias, epsilon=1e-5,
                                name=f"{name}_conv{_}")(h, train)
             bias_init = (
                 nn.initializers.constant(self.init_bias)
@@ -83,6 +87,7 @@ class CenterHead(nn.Module):
             self.model_cfg["SHARED_CONV_CHANNEL"],
             kernel=3,
             use_bias=self.model_cfg.get("USE_BIAS_BEFORE_NORM", False),
+            epsilon=1e-5,
             dtype=dt,
             name="shared_conv",
         )(x, train)
@@ -95,7 +100,10 @@ class CenterHead(nn.Module):
                 "out_channels": len(class_ids),
                 "num_conv": self.model_cfg.get("NUM_HM_CONV", 2),
             }
-            pred_dicts.append(SeparateHead(sep, dtype=dt, name=f"head_{idx}")(x, train))
+            pred_dicts.append(SeparateHead(
+                sep, dtype=dt,
+                use_bias=self.model_cfg.get("USE_BIAS_BEFORE_NORM", False),
+                name=f"head_{idx}")(x, train))
         batch["pred_dicts"] = pred_dicts
         return batch
 

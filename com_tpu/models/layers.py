@@ -94,6 +94,9 @@ class ConvBNReLU(nn.Module):
     use_bias: bool = False
     dtype: object = None
     pallas: bool = True
+    # torch BatchNorm2d default eps is 1e-5 (the reference's CenterHead BNs,
+    # center_head.py:23-27,78-84); the backbone/PFN BNs pass eps=1e-3
+    epsilon: float = 1e-3
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -102,16 +105,21 @@ class ConvBNReLU(nn.Module):
             x = PallasConv3x3(self.features, dtype=self.dtype,
                               name="Conv_0")(x)
         else:
+            # explicit symmetric padding, NOT "SAME": for strided convs on
+            # even sizes lax SAME pads (0, 1) while the reference's
+            # ZeroPad2d(1)+VALID (base_bev_backbone.py:32-38) is (1, 1) —
+            # a one-pixel window shift that breaks checkpoint-import parity
+            p = self.kernel // 2
             x = nn.Conv(
                 self.features,
                 (self.kernel, self.kernel),
                 strides=(self.stride, self.stride),
-                padding="SAME",
+                padding=((p, p), (p, p)),
                 use_bias=self.use_bias,
                 dtype=self.dtype,
             )(x)
         x = nn.BatchNorm(
-            use_running_average=not train, momentum=0.99, epsilon=1e-3,
-            dtype=self.dtype,
+            use_running_average=not train, momentum=0.99,
+            epsilon=self.epsilon, dtype=self.dtype,
         )(x)
         return nn.relu(x)

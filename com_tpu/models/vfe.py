@@ -73,6 +73,12 @@ class _PFNLayer(nn.Module):
     out_channels: int
     last: bool
     dtype: object = None
+    # remask=False reproduces the reference PFN exactly: padded point rows
+    # are NOT re-zeroed after relu(bn(...)), so they contribute the constant
+    # relu(bn(0)) to the max pool and to the hidden-layer concat
+    # (pillar_vfe.py:29-48 applies no mask inside PFNLayer).  The default
+    # masked form is our cleaner semantics for training from scratch.
+    remask: bool = True
 
     @nn.compact
     def __call__(self, feats, mask, pool_fn, train: bool):
@@ -81,7 +87,8 @@ class _PFNLayer(nn.Module):
         x = nn.Dense(units, use_bias=False, dtype=self.dtype)(feats)
         x = MaskedBatchNorm()(x, mask=mask, use_running_average=not train)
         x = nn.relu(x)
-        x = x * mask[..., None].astype(x.dtype)
+        if self.remask:
+            x = x * mask[..., None].astype(x.dtype)
         x_max, x_max_back = pool_fn(x)
         if self.last:
             return x_max, None
@@ -147,18 +154,37 @@ class PillarVFE(nn.Module):
             )
         feats = feats * mask[..., None].astype(feats.dtype)
 
+        # PFN_PAD_PARITY reproduces the reference PFN bit-for-bit: BN
+        # statistics include the zeroed padded-point rows of real pillars and
+        # the max pool runs over all T rows (pillar_vfe.py:94-123 applies the
+        # point mask only to the INPUT features).  Required for torch
+        # checkpoint import forward parity (utils/torch_import.py); padded
+        # PILLARS (coords -1) stay excluded either way — the reference's
+        # (M, T, C) layout has no pillar padding at all.
+        parity = bool(self.model_cfg.get("PFN_PAD_PARITY", False))
+        pillar_valid = coords[..., 0] >= 0  # (B, V)
+        bn_mask = (
+            jnp.broadcast_to(pillar_valid[..., None], mask.shape)
+            if parity else mask
+        )
+
         dt = jnp.bfloat16 if self.model_cfg.get("MIXED_PRECISION", False) else None
         num_filters = list(self.model_cfg["NUM_FILTERS"])
         for i, out in enumerate(num_filters):
             last = i == len(num_filters) - 1
 
             def pool(x):
+                if parity:
+                    xm = x.max(axis=2)
+                    return xm, jnp.broadcast_to(xm[:, :, None, :], x.shape)
                 neg = jnp.asarray(-jnp.inf, x.dtype)
                 xm = jnp.where(mask[..., None], x, neg).max(axis=2)
                 xm = jnp.where(jnp.isfinite(xm), xm, jnp.zeros((), x.dtype))
                 return xm, jnp.broadcast_to(xm[:, :, None, :], x.shape)
 
-            pooled, feats = _PFNLayer(out, last, dtype=dt)(feats, mask, pool, train)
+            pooled, feats = _PFNLayer(out, last, dtype=dt,
+                                      remask=not parity)(
+                feats, bn_mask, pool, train)
         batch["pillar_features"] = pooled  # (B, V, C)
         return batch
 

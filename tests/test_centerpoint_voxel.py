@@ -24,11 +24,12 @@ def test_centerpoint_voxel_train_step():
     batch["facade_type"] = jnp.asarray(
         rng.randint(0, 4, np.asarray(batch["gt_boxes"]).shape[:2]).astype(np.float32))
 
-    meta = DatasetMeta(CLASS_NAMES, pc_range, vsize, (64, 64, 8), 5)
+    meta = DatasetMeta(CLASS_NAMES, pc_range, vsize, (64, 64, 40), 5)
     cfg = CfgNode({
         "NAME": "CenterPoint",
         "VFE": {"NAME": "MeanVFE"},
         "BACKBONE_3D": {"NAME": "VoxelBackBone8x", "CHANNELS": [8, 16, 16, 32],
+                        "OUT_CHANNELS": 16,
                         "VOXEL_CAPS": [2048, 1024, 512, 256]},
         "MAP_TO_BEV": {"NAME": "HeightCompression", "NUM_BEV_FEATURES": 32},
         "BACKBONE_2D": {"NAME": "BaseBEVBackbone", "LAYER_NUMS": [1], "LAYER_STRIDES": [1],

@@ -57,8 +57,9 @@ def test_focal_backbone_train_step():
     from com_tpu.train.step import make_train_step
 
     rng = np.random.RandomState(0)
-    pc_range = [-16, -16, -1.6, 16, 16, 1.6]
-    vsize = [0.5, 0.5, 0.4]
+    # z=40 voxels: exact spconv extents need the reference-deep z chain
+    pc_range = [-16, -16, -2.0, 16, 16, 2.0]
+    vsize = [0.5, 0.5, 0.1]
     pts = np.concatenate(
         [rng.uniform(-14, 14, (2500, 2)), rng.uniform(-1.4, 1.4, (2500, 1)),
          rng.rand(2500, 2)], axis=1).astype(np.float32)
@@ -100,7 +101,7 @@ def test_focal_backbone_train_step():
                                              "code_weights": [1.0] * 7}},
         },
     })
-    meta = DatasetMeta(CLASS_NAMES, pc_range, vsize, (64, 64, 8), 5)
+    meta = DatasetMeta(CLASS_NAMES, pc_range, vsize, (64, 64, 40), 5)
     net = build_network(cfg, meta)
     variables = jax.jit(net.init, static_argnames=("train",))(
         jax.random.PRNGKey(0), batch, train=False)

@@ -100,8 +100,9 @@ def test_multimodal_focal_train_step():
     from com_tpu.train.step import device_batch_keys, make_train_step
 
     rng = np.random.RandomState(0)
-    pc_range = [0, -16, -1.6, 32, 16, 1.6]
-    vsize = [0.5, 0.5, 0.4]
+    # z=40 voxels: exact spconv extents need the reference-deep z chain
+    pc_range = [0, -16, -2.0, 32, 16, 2.0]
+    vsize = [0.5, 0.5, 0.1]
     pts = np.concatenate(
         [rng.uniform(1, 30, (2000, 1)), rng.uniform(-14, 14, (2000, 1)),
          rng.uniform(-1.4, 1.4, (2000, 1)), rng.rand(2000, 1)],
@@ -155,7 +156,7 @@ def test_multimodal_focal_train_step():
     })
     keys = device_batch_keys(cfg)
     assert {"images", "trans_lidar_to_cam", "noise_rot", "flip_x"} <= keys
-    meta = DatasetMeta(["Car"], pc_range, vsize, (64, 64, 8), 5)
+    meta = DatasetMeta(["Car"], pc_range, vsize, (64, 64, 40), 5)
     net = build_network(cfg, meta)
     variables = jax.jit(net.init, static_argnames=("train",))(
         jax.random.PRNGKey(0), batch, train=False)

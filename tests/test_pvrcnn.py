@@ -56,8 +56,9 @@ def pvrcnn_cfg():
 
 
 def make_batch(rng, b=2):
-    pc_range = [-16, -16, -1.6, 16, 16, 1.6]
-    vsize = [0.5, 0.5, 0.4]
+    # z=40 voxels: exact spconv extents need the reference-deep z chain
+    pc_range = [-16, -16, -2.0, 16, 16, 2.0]
+    vsize = [0.5, 0.5, 0.1]
     vox_l, crd_l, num_l, pts_l = [], [], [], []
     gt = np.zeros((b, 4, 8), np.float32)
     n_pts = 2000
@@ -85,7 +86,7 @@ def make_batch(rng, b=2):
 def test_pvrcnn_train_step():
     rng = np.random.RandomState(0)
     batch, pc_range, vsize = make_batch(rng)
-    meta = DatasetMeta(CLASS_NAMES, pc_range, vsize, (64, 64, 8), 5)
+    meta = DatasetMeta(CLASS_NAMES, pc_range, vsize, (64, 64, 40), 5)
     cfg = pvrcnn_cfg()
     net = build_network(cfg, meta)
     variables = net.init(jax.random.PRNGKey(0), dict(batch), train=True)

@@ -78,7 +78,7 @@ def test_pvrcnn_plusplus_train_step():
 
     rng = np.random.RandomState(0)
     batch, pc_range, vsize = make_batch(rng, b=1)
-    meta = DatasetMeta(CLASS_NAMES, pc_range, vsize, (64, 64, 8), 5)
+    meta = DatasetMeta(CLASS_NAMES, pc_range, vsize, (64, 64, 40), 5)
     net = build_network(cfg, meta)
     variables = jax.jit(net.init, static_argnames=("train",))(
         jax.random.PRNGKey(0), batch, train=False)

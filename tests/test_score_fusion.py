@@ -46,7 +46,7 @@ def setup():
     batch = dict(batch)
     batch["points"] = jnp.asarray(pts)
     batch["points_mask"] = jnp.ones((2, 2048), bool)
-    meta = DatasetMeta(CLASS_NAMES, pc_range, vsize, (64, 64, 8), 5)
+    meta = DatasetMeta(CLASS_NAMES, pc_range, vsize, (64, 64, 40), 5)
     cfg0 = _iou_cfg()
     net = build_network(cfg0, meta)
     variables = net.init(jax.random.PRNGKey(0), dict(batch), train=False)

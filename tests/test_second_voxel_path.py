@@ -19,6 +19,7 @@ def second_cfg():
         "NAME": "SECONDNet",
         "VFE": {"NAME": "MeanVFE"},
         "BACKBONE_3D": {"NAME": "VoxelBackBone8x", "CHANNELS": [8, 16, 32, 64],
+                        "OUT_CHANNELS": 32,
                         "VOXEL_CAPS": [2048, 1024, 512, 256]},
         "MAP_TO_BEV": {"NAME": "HeightCompression", "NUM_BEV_FEATURES": 64},
         "BACKBONE_2D": {"NAME": "BaseBEVBackbone", "LAYER_NUMS": [1, 1],
@@ -45,8 +46,10 @@ def second_cfg():
 
 
 def make_voxel_batch(rng, b=2):
-    pc_range = [-16, -16, -1.6, 16, 16, 1.6]
-    vsize = [0.5, 0.5, 0.4]  # grid 64x64x8
+    # z must be reference-deep: spconv z-chain 40(+1 pad)->21->11->5->2
+    # collapses to nothing below ~25 z-voxels (exact spconv extents)
+    pc_range = [-16, -16, -2.0, 16, 16, 2.0]
+    vsize = [0.5, 0.5, 0.1]  # grid 64x64x40
     batch_vox, batch_coords, batch_num = [], [], []
     gt = np.zeros((b, 8, 8), np.float32)
     for i in range(b):
@@ -72,7 +75,7 @@ def make_voxel_batch(rng, b=2):
 def test_second_forward_and_train_step():
     rng = np.random.RandomState(0)
     batch, pc_range, vsize = make_voxel_batch(rng)
-    meta = DatasetMeta(CLASS_NAMES, pc_range, vsize, (64, 64, 8), 5)
+    meta = DatasetMeta(CLASS_NAMES, pc_range, vsize, (64, 64, 40), 5)
     cfg = second_cfg()
     net = build_network(cfg, meta)
     variables = net.init(jax.random.PRNGKey(0), dict(batch), train=False)

@@ -39,9 +39,9 @@ def test_pvrcnn_eval_uses_refined_boxes():
 
     repo = Path(__file__).resolve().parents[1]
     cfg = cfg_from_yaml_file(str(repo / "configs/waymo_models/pv_rcnn.yaml"))
-    grid = (32, 32, 8)
+    grid = (32, 32, 40)
     pc = [-3.2, -3.2, -2.0, 3.2, 3.2, 4.0]
-    meta = DatasetMeta(cfg.CLASS_NAMES, pc, [0.2, 0.2, 0.75], grid, 5)
+    meta = DatasetMeta(cfg.CLASS_NAMES, pc, [0.2, 0.2, 0.15], grid, 5)
     mc = cfg.MODEL
     mc["BACKBONE_3D"]["VOXEL_CAPS"] = [2048, 2048, 1024, 512]
     mc["VFE"]["VOXELIZE_ON_DEVICE"] = {

@@ -93,8 +93,9 @@ def test_voxelrcnn_train_step_runs():
     from com_tpu.train.step import make_train_step
 
     rng = np.random.RandomState(0)
-    pc_range = [-16, -16, -1.6, 16, 16, 1.6]
-    vsize = [0.5, 0.5, 0.4]
+    # z=40 voxels: exact spconv extents need the reference-deep z chain
+    pc_range = [-16, -16, -2.0, 16, 16, 2.0]
+    vsize = [0.5, 0.5, 0.1]
     pts = np.concatenate(
         [rng.uniform(-14, 14, (3000, 2)), rng.uniform(-1.4, 1.4, (3000, 1)),
          rng.rand(3000, 2)], axis=1).astype(np.float32)
@@ -110,7 +111,7 @@ def test_voxelrcnn_train_step_runs():
         "voxel_num_points": jnp.asarray(num[None]),
         "gt_boxes": jnp.asarray(gt),
     }
-    meta = DatasetMeta(CLASS_NAMES, pc_range, vsize, (64, 64, 8), 5)
+    meta = DatasetMeta(CLASS_NAMES, pc_range, vsize, (64, 64, 40), 5)
     cfg = voxelrcnn_cfg()
     net = build_network(cfg, meta)
     variables = jax.jit(net.init, static_argnames=("train",))(
