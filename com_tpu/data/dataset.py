@@ -98,6 +98,11 @@ class DatasetTemplate:
         self.max_gt = int(dataset_cfg.get("MAX_GT_OBJECTS", 500))
         self.epoch = 0
 
+    @property
+    def mode(self):
+        """'train'/'test' split selector (reference dataset.py:60-62)."""
+        return "train" if self.training else "test"
+
     def __len__(self):
         raise NotImplementedError
 

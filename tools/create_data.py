@@ -68,6 +68,20 @@ def integrate_database(args, cfg):
     print("wrote global array", global_arr.shape)
 
 
+def create_pandaset_infos(args, cfg):
+    """Build pandaset_infos_{train,val,test}.pkl + the train GT database from
+    the devkit on-disk layout (reference pandaset_dataset.py:441-466),
+    devkit-free (pandas + poses.json)."""
+    from com_tpu.data.pandaset.pandaset_utils import \
+        create_pandaset_infos as build
+
+    # accept a model config (DATA_CONFIG nested) or the dataset config itself
+    dc = cfg.get("DATA_CONFIG", cfg) if cfg is not None else {}
+    root = Path(args.root_path or dc["DATA_PATH"])
+    out = Path(args.out_dir or root)
+    build(dc, cfg.get("CLASS_NAMES", []) if cfg is not None else [], root, out)
+
+
 def create_waymo_infos(args, cfg):
     """Extract raw Waymo tfrecords into per-sequence info pkls + .npy point
     files (reference waymo_dataset.py --func create_waymo_infos; requires
@@ -99,7 +113,8 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--func", required=True,
                         choices=["create_gt_database", "annotate_database",
-                                 "integrate_database", "create_waymo_infos"])
+                                 "integrate_database", "create_waymo_infos",
+                                 "create_pandaset_infos"])
     parser.add_argument("--cfg_file", type=str, default=None)
     parser.add_argument("--db_info_path", type=str, default=None)
     parser.add_argument("--root_path", type=str, default=None)
