@@ -49,12 +49,15 @@ _PROBE = (
 )
 
 
-def probe_tpu(timeout_s: float = 55.0):
+def probe_tpu(timeout_s: float = 300.0):
     """Run a tiny jit in a fresh subprocess with the ambient (axon) env.
 
     Returns (ok, detail).  A wedged tunnel blocks at backend init, which a
     subprocess timeout converts into a clean failure instead of hanging the
-    bench forever (the round-2 failure mode).
+    bench forever (the round-2 failure mode).  The timeout must dominate a
+    COLD backend init, which the 2026-08-19 toolchain update pushed to
+    ~2.5 min in a fresh subprocess (measured) — 55 s here misread a healthy
+    TPU as tunnel-wedged.
     """
     try:
         proc = subprocess.run(
@@ -72,10 +75,9 @@ def probe_tpu(timeout_s: float = 55.0):
 def main():
     ok, detail = probe_tpu()
     if not ok:
-        # one shorter retry — transient relay hiccups recover on a fresh
-        # connect; keeps the total diagnostic path under ~100 s
+        # one retry — transient relay hiccups recover on a fresh connect
         time.sleep(3)
-        ok, detail = probe_tpu(timeout_s=40.0)
+        ok, detail = probe_tpu(timeout_s=240.0)
     if not ok:
         print(json.dumps({
             "metric": "waymo_centerpoint_com_train_scenes_per_sec_per_chip",
@@ -119,6 +121,18 @@ def run_bench():
     # keep data resident on device; a real input pipeline double-buffers
     batch = jax.device_put(batch)
 
+    # analytic FLOPs for the MFU field: XLA's HLO cost analysis on the
+    # UNOPTIMIZED lowering (pure host-side trace — no second remote compile),
+    # i.e. the step's algorithmic conv/matmul/elementwise FLOPs before fusion
+    step_flops = None
+    try:
+        ca = step.lower(state, batch, 0).cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        step_flops = float(ca.get("flops", 0.0)) or None
+    except Exception:
+        pass
+
     for i in range(WARMUP):
         state, metrics = step(state, batch, 0)
     float(metrics["loss"])  # device->host sync: forces full completion
@@ -150,9 +164,17 @@ def run_bench():
         "value": round(step_only, 3),
         "unit": "scenes/sec/chip",
         "vs_baseline": round(step_only / A100_BASELINE_SCENES_PER_SEC, 3),
-        "baseline_note": "7.0 scenes/sec/chip A100 ESTIMATE (reference publishes no numbers)",
+        "baseline_note": "7.0 scenes/sec/chip A100 ESTIMATE "
+                         "(derivation + measured same-host CPU anchor: "
+                         "BASELINE.md)",
         "hardware": "v5e (BASELINE.md 2x target assumed v5p)",
     }
+    if step_flops is not None:
+        sec_per_step = ITERS and dt / ITERS
+        out["step_tflops"] = round(step_flops / 1e12, 2)
+        # v5e bf16 peak ~197 TFLOP/s; flops are the pre-fusion HLO count
+        out["mfu_vs_v5e_bf16_peak"] = round(
+            step_flops / sec_per_step / 197e12, 4)
     if end_to_end is not None:
         out["end_to_end"] = round(end_to_end, 3)
     if host_pipeline is not None:

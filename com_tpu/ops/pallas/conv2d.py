@@ -12,10 +12,13 @@ the conv emitter picks:
   accumulates  acc += window[dy:dy+TH, dx:dx+W] @ w[dy, dx]  for the nine
   taps in f32, writing the (TH, W, Cout) tile in the input dtype.
 
-Backward is two more instances of the same machinery (custom_vjp):
-  dx = conv3x3(dy, rot180(w).swap(in,out))      — spatial correlation dual
-  dw[dy,dx] = window(x)^T @ dy                  — K-blocked matmul
-                                                  accumulated across the grid
+Backward (custom_vjp):
+  dx = conv3x3(dy, rot180(w).swap(in,out))      — spatial correlation dual,
+                                                  same Pallas kernel
+  dw[dy,dx] = shift(x_pad, dy,dx)^T @ dy        — "dot9": nine MXU dots as
+                                                  plain HLO (beats both the
+                                                  Pallas wgrad kernel and
+                                                  XLA's transpose emitter)
 
 Replaces the role of torch.nn.Conv2d inside BaseBEVBackbone / CenterHead
 shared convs (reference base_bev_backbone.py:34-76, centerpoint head
@@ -61,6 +64,45 @@ def _pick_th(wd, cin, cout, itemsize):
         if _vmem_footprint(th, wd, cin, cout, itemsize) <= _VMEM_BUDGET:
             return th
     return 8
+
+
+# (wd, cin, cout, itemsize) -> largest tile height Mosaic actually compiles,
+# or None when even th=8 is rejected (shape must take the XLA conv).  The
+# analytic footprint model alone proved too optimistic when the remote
+# toolchain updated under us (2026-08-19: tiles it admitted started failing
+# scoped-VMEM checks, 17.14 MiB vs a 16 MiB limit), so the model now only
+# orders the candidates and an AOT lower+compile probe has the final say.
+_TH_CACHE: dict = {}
+
+
+def _probe_th(wd, cin, cout, dtype):
+    """Trace-time pick of the fwd kernel's tile height for one conv shape:
+    footprint model proposes, a real Mosaic compile (on shape structs — no
+    device buffers, one-time per shape per process) disposes.  Grid height
+    does not enter scoped-VMEM accounting, so the probe uses a minimal
+    2-tile canvas regardless of the caller's H."""
+    import os
+
+    forced = os.environ.get("COM_TPU_CONV_TH")
+    if forced:
+        return int(forced)
+    itemsize = jnp.dtype(dtype).itemsize
+    key = (wd, cin, cout, itemsize)
+    if key in _TH_CACHE:
+        return _TH_CACHE[key]
+    th0 = _pick_th(wd, cin, cout, itemsize)
+    chosen = None
+    for th in (t for t in (32, 16, 8) if t <= th0):
+        try:
+            xs = jax.ShapeDtypeStruct((1, 2 * th, wd, cin), dtype)
+            ws = jax.ShapeDtypeStruct((3, 3, cin, cout), dtype)
+            _conv3x3_fwd_pallas.lower(xs, ws, th=th).compile()
+            chosen = th
+            break
+        except Exception:
+            continue
+    _TH_CACHE[key] = chosen
+    return chosen
 
 
 def _conv_kernel(th, w_dim, cin, cout, top_ref, mid_ref, bot_ref, w_ref,
@@ -129,11 +171,12 @@ def _halo_specs(th, w_dim, c, grid_h):
     ]
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _conv3x3_fwd_pallas(x, w, interpret=False):
+@functools.partial(jax.jit, static_argnames=("th", "interpret"))
+def _conv3x3_fwd_pallas(x, w, th=None, interpret=False):
     b, h, wd, cin = x.shape
     cout = w.shape[-1]
-    th = _pick_th(wd, cin, cout, x.dtype.itemsize)
+    if th is None:  # interpret/tests: the analytic pick, no Mosaic involved
+        th = _pick_th(wd, cin, cout, x.dtype.itemsize)
     hpad = (-h) % th
     if hpad:
         x = jnp.pad(x, ((0, 0), (0, hpad), (0, 0), (0, 0)))
@@ -191,20 +234,23 @@ from jax.experimental.custom_partitioning import custom_partitioning  # noqa: E4
 PARTITIONED = os.environ.get("COM_TPU_PARTITIONED_KERNELS", "1") == "1"
 
 
-def _fwd_local(x, w, backend):
+def _fwd_local(x, w, backend, th=None):
+    # th is decided at TRACE time (see _route_fwd) and threaded through as a
+    # static — probing from inside a custom_partitioning lower_fn would
+    # issue a nested compile from within a compiler callback.
     if backend == "tpu":
-        return _conv3x3_fwd_pallas(x, w)
+        return _conv3x3_fwd_pallas(x, w, th=th)
     if backend == "interpret":
         return _conv3x3_fwd_pallas(x, w, interpret=True)
     return _conv3x3_ref(x, w)
 
 
-@functools.partial(custom_partitioning, static_argnums=(2,))
-def _conv3x3_fwd_sharded(x, w, backend):
-    return _fwd_local(x, w, backend)
+@functools.partial(custom_partitioning, static_argnums=(2, 3))
+def _conv3x3_fwd_sharded(x, w, backend, th=None):
+    return _fwd_local(x, w, backend, th)
 
 
-def _cv_partition(backend, mesh, arg_shapes, result_shape):
+def _cv_partition(backend, th, mesh, arg_shapes, result_shape):
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     # The kernel is only divisible over the batch axis: each shard runs a
@@ -219,13 +265,13 @@ def _cv_partition(backend, mesh, arg_shapes, result_shape):
                      NamedSharding(mesh, P()))
 
     def lower_fn(x, w):
-        return _fwd_local(x, w, backend)
+        return _fwd_local(x, w, backend, th)
 
     return (mesh, lower_fn,
             NamedSharding(mesh, P(b_axis, None, None, None)), arg_shardings)
 
 
-def _cv_infer(backend, mesh, arg_shapes, result_shape):
+def _cv_infer(backend, th, mesh, arg_shapes, result_shape):
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     spec = arg_shapes[0].sharding.spec
@@ -242,22 +288,27 @@ _conv3x3_fwd_sharded.def_partition(
 
 
 def _wgrad_local(x, g, backend):
-    if backend == "tpu":
-        return _conv3x3_wgrad_pallas(x, g)
     if backend == "interpret":
         return _conv3x3_wgrad_pallas(x, g, interpret=True)
+    # dot9: tap (dy,dx) of dw is one (BHW,ci)^T @ (BHW,co) dot over a
+    # shifted view of padded x — nine MXU dots, bf16 operands, f32
+    # accumulation.  This is the TPU path too (not just the CPU oracle):
+    # it beats XLA's conv-transpose wgrad emitter 1.3-1.6x at every model
+    # shape (tools/perf/microbench_wgrad_xla.py), and the Pallas wgrad
+    # kernel stopped compiling at model shapes when the remote toolchain
+    # updated 2026-08-19 (scoped-VMEM reject at any tile height).
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
-    h, wd = x.shape[1], x.shape[2]
+    b, h, wd, ci = x.shape
+    co = g.shape[-1]
+    gf = g.reshape(b * h * wd, co)
     taps = []
     for dy in range(3):
-        row = []
         for dxo in range(3):
-            sl = xp[:, dy : dy + h, dxo : dxo + wd, :]
-            row.append(jnp.einsum(
-                "bhwc,bhwd->cd", sl.astype(jnp.float32),
-                g.astype(jnp.float32)))
-        taps.append(jnp.stack(row))
-    return jnp.stack(taps)
+            xs = xp[:, dy : dy + h, dxo : dxo + wd].reshape(b * h * wd, ci)
+            taps.append(jax.lax.dot_general(
+                xs, gf, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32))
+    return jnp.stack(taps).reshape(3, 3, ci, co)
 
 
 @functools.partial(custom_partitioning, static_argnums=(2,))
@@ -320,9 +371,7 @@ def _pallas_conv_supported():
             with jax.ensure_compile_time_eval():
                 x = jnp.zeros((1, 16, 8, 8), jnp.bfloat16)
                 w = jnp.zeros((3, 3, 8, 8), jnp.bfloat16)
-                _conv3x3_fwd_pallas(x, w).block_until_ready()
-                _conv3x3_wgrad_pallas(x, jnp.zeros((1, 16, 8, 8), jnp.bfloat16)
-                                      ).block_until_ready()
+                _conv3x3_fwd_pallas(x, w, th=8).block_until_ready()
             _PROBE_OK = True
         except Exception:  # Mosaic compile failure -> XLA fallback
             _PROBE_OK = False
@@ -375,14 +424,27 @@ def _fits_vmem(x, cout):
                            x.dtype.itemsize) <= _VMEM_BUDGET
 
 
+def _route_fwd(x, cout, force):
+    """Trace-time routing for one fwd-kernel instance: (backend, th).
+    backend 'cpu' means XLA's conv emitter; th is the Mosaic-verified tile
+    height when backend is 'tpu'."""
+    backend = _dispatch(force)
+    th = None
+    if backend == "tpu":
+        if not _fits_vmem(x, cout):
+            return "cpu", None  # oversized window
+        th = _probe_th(x.shape[2], x.shape[3], cout, x.dtype)
+        if th is None:
+            return "cpu", None  # Mosaic rejected every tile for this shape
+    return backend, th
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
 def _conv3x3_vjp(x, w, force: str | None = None):
-    backend = _dispatch(force)
-    if backend == "tpu" and not _fits_vmem(x, w.shape[-1]):
-        backend = "cpu"  # XLA conv fallback for oversized windows
+    backend, th = _route_fwd(x, w.shape[-1], force)
     if PARTITIONED:
-        return _conv3x3_fwd_sharded(x, w, backend)
-    return _fwd_local(x, w, backend)
+        return _conv3x3_fwd_sharded(x, w, backend, th)
+    return _fwd_local(x, w, backend, th)
 
 
 def conv3x3(x, w, force: str | None = None):
@@ -423,22 +485,22 @@ def _conv3x3_fwd(x, w, force):
 
 def _conv3x3_bwd(force, res, g):
     x, w = res
-    backend = _dispatch(force)
     # dgrad: correlate the cotangent with the spatially-rotated,
-    # in/out-swapped kernel — again a 3x3 stride-1 SAME conv
+    # in/out-swapped kernel — again a 3x3 stride-1 SAME conv.  Its INPUT is
+    # g (cout channels) and its output has cin, so it routes on g's
+    # footprint, not the forward's (a channel-expanding conv can fit
+    # forward yet overflow VMEM in dgrad).
     w_rot = jnp.flip(jnp.flip(w, 0), 1).swapaxes(2, 3)
-    # the dgrad conv's INPUT is g (cout channels) and its output has cin —
-    # guard against that footprint, not the forward's (a channel-expanding
-    # conv can fit forward yet overflow VMEM in dgrad)
-    if backend == "tpu" and not (_fits_vmem(g, x.shape[-1])
-                                 and _fits_vmem(x, g.shape[-1])):
-        backend = "cpu"
+    backend_d, th_d = _route_fwd(g, x.shape[-1], force)
+    # wgrad is dot9 — plain HLO on every backend, no VMEM routing needed;
+    # the backend flag only distinguishes interpret (tests) from the rest
+    backend_w = _dispatch(force)
     if PARTITIONED:
-        dx = _conv3x3_fwd_sharded(g, w_rot.astype(g.dtype), backend)
-        dw = _conv3x3_wgrad_sharded(x, g, backend)
+        dx = _conv3x3_fwd_sharded(g, w_rot.astype(g.dtype), backend_d, th_d)
+        dw = _conv3x3_wgrad_sharded(x, g, backend_w)
     else:
-        dx = _fwd_local(g, w_rot.astype(g.dtype), backend)
-        dw = _wgrad_local(x, g, backend)
+        dx = _fwd_local(g, w_rot.astype(g.dtype), backend_d, th_d)
+        dw = _wgrad_local(x, g, backend_w)
     return dx.astype(x.dtype), dw.astype(w.dtype)
 
 

@@ -245,16 +245,17 @@ def oracle(x, g):
 
 
 def timeit(name, fn, *a, flops=0):
+    # chain_time (one executable, dependent iterations, host-fetch barrier):
+    # open-loop timing under the axon runtime reads from a request cache and
+    # block_until_ready returns at enqueue — see tools/perf/tpu_timeit.py.
+    from tools.perf.tpu_timeit import chain_time
+
     try:
-        out = jax.block_until_ready(fn(*a))
-        t0 = time.perf_counter()
-        for _ in range(ITERS):
-            out = fn(*a)
-        jax.block_until_ready(out)
+        out = fn(*a)
+        dt = chain_time(fn, a, iters=ITERS)
     except Exception as e:  # compile OOM or async dispatch error — record
         print(f"{name:36s} FAILED: {str(e).splitlines()[0][:90]}", flush=True)
         return None, float("inf")
-    dt = (time.perf_counter() - t0) / ITERS
     rate = flops / dt / 1e12 if flops else 0.0
     print(f"{name:36s} {dt*1e3:8.3f} ms  {rate:6.1f} TFLOP/s", flush=True)
     return out, dt
