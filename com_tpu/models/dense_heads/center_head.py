@@ -18,9 +18,74 @@ from ...utils.registry import DENSE_HEADS
 from ..layers import ConvBNReLU
 
 
+class _RawConv(nn.Module):
+    """Declares a 3x3 conv's leaves (kernel[, bias]) WITHOUT running the
+    conv, so the parent can assemble fused kernels across branches while the
+    variable tree stays byte-identical to a plain nn.Conv at this scope."""
+
+    shape: tuple  # (3, 3, cin, cout)
+    use_bias: bool = True
+    bias_init: object = nn.initializers.zeros
+
+    def setup(self):
+        self.kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                                 self.shape)
+        if self.use_bias:
+            self.bias = self.param("bias", self.bias_init,
+                                   (self.shape[-1],))
+
+    def __call__(self):
+        return self.kernel, (self.bias if self.use_bias else None)
+
+
+class _BranchConvBN(nn.Module):
+    """Param-tree twin of ConvBNReLU(kernel=3, stride=1): same leaves
+    (Conv_0/kernel[, bias], BatchNorm_0/...) but the conv runs FUSED in the
+    parent; norm() applies this branch's BN to its slice of the fused
+    output (BN is per-channel, so slice-BN == branch-BN exactly)."""
+
+    features: int
+    in_features: int
+    use_bias: bool
+    epsilon: float = 1e-5
+    dtype: object = None
+
+    def setup(self):
+        self.conv = _RawConv((3, 3, self.in_features, self.features),
+                             use_bias=self.use_bias, name="Conv_0")
+        self.bn = nn.BatchNorm(momentum=0.99, epsilon=self.epsilon,
+                               dtype=self.dtype, name="BatchNorm_0")
+
+    def __call__(self):
+        return self.conv()
+
+    def norm(self, x, train: bool):
+        return self.bn(x, use_running_average=not train)
+
+
+def _conv3x3_same(x, w, dt):
+    if dt is not None:
+        x, w = x.astype(dt), w.astype(dt)
+    return jax.lax.conv_general_dilated(
+        x, w, (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
 class SeparateHead(nn.Module):
     """Per-group branch stack: for each target name, (num_conv-1) ConvBNReLU +
-    final 3x3 conv with bias (curriculum_center_head.py:11-45)."""
+    final 3x3 conv with bias (curriculum_center_head.py:11-45).
+
+    Compute path (fused=True, the default when every branch has num_conv<=2):
+    the five independent branch stacks run as ONE wide hidden conv
+    (64->5*64: full MXU lanes instead of five N=64-cliff convs), per-branch
+    BN+ReLU on slices (XLA fuses them into one elementwise pass), and ONE
+    block-masked final conv (320->sum(out_channels); zero cross-branch
+    weights keep branch independence, and their grads stay zero through the
+    assemble-by-slice chain rule).  Measured on the v5e at 468x468x64 with
+    the dedup-proof chain harness (tools/perf/microbench_head_fuse.py,
+    2026-08-19): 19.9 ms fused vs 28.2 ms separate fwd+bwd.  The variable
+    tree is identical in both modes, so checkpoints, the torch importer, and
+    the optimizer labeling see no difference."""
 
     sep_head_dict: dict
     init_bias: float = -2.19
@@ -28,15 +93,14 @@ class SeparateHead(nn.Module):
     # reference SeparateHead convs carry a bias when USE_BIAS_BEFORE_NORM
     # (center_head.py:12-28) and their BNs use the torch default eps 1e-5
     use_bias: bool = False
+    fused: bool = True
 
     @nn.compact
     def __call__(self, x, train: bool = True):
-        # Note: branch fusion (one wide hidden conv + grouped/masked final)
-        # was measured SLOWER on v5e than the separate narrow branches
-        # (6.7 ms separate vs 21.4 ms grouped / 8.6 ms masked fwd+bwd at
-        # 468x468x64) — XLA pipelines the independent branches well. Keep
-        # the reference-shaped separate stacks.
         specs = list(self.sep_head_dict.items())
+        cin = x.shape[-1]
+        if self.fused and all(s["num_conv"] <= 2 for _, s in specs):
+            return self._fused(x, specs, cin, train)
         out = {}
         for name, spec in specs:
             h = x
@@ -59,6 +123,62 @@ class SeparateHead(nn.Module):
                 name=f"{name}_out",
             )(h)
             out[name] = h.astype(jnp.float32)  # losses/decoding in f32
+        return out
+
+    def _fused(self, x, specs, cin, train):
+        dt = self.dtype
+        hidden, finals = [], []
+        for name, spec in specs:
+            hid = None
+            if spec["num_conv"] >= 2:
+                hid = _BranchConvBN(cin, cin, use_bias=self.use_bias,
+                                    dtype=dt, name=f"{name}_conv0")
+            bias_init = (nn.initializers.constant(self.init_bias)
+                         if name == "hm" else nn.initializers.zeros)
+            fin_in = cin  # num_conv<=2: the final conv always sees cin
+            finals.append(_RawConv((3, 3, fin_in, spec["out_channels"]),
+                                   use_bias=True, bias_init=bias_init,
+                                   name=f"{name}_out"))
+            hidden.append(hid)
+
+        # ONE wide hidden conv over the branches that have one
+        hid_idx = [i for i, hld in enumerate(hidden) if hld is not None]
+        feats = {}
+        if hid_idx:
+            ks, bs = zip(*[hidden[i]() for i in hid_idx])
+            h = _conv3x3_same(x, jnp.concatenate(ks, axis=-1), dt)
+            if self.use_bias:
+                b = jnp.concatenate(bs)
+                h = h + b.astype(h.dtype)
+            for j, i in enumerate(hid_idx):
+                sl = h[..., j * cin : (j + 1) * cin]
+                feats[i] = nn.relu(hidden[i].norm(sl, train))
+        for i, hld in enumerate(hidden):
+            if hld is None:
+                feats[i] = x  # num_conv == 1: final conv reads the input
+
+        # ONE block-masked final conv: stack the (per-branch, disjoint-slice)
+        # kernels into (3, 3, n*cin, sum(out)); zeros elsewhere
+        n = len(specs)
+        total = sum(s["out_channels"] for _, s in specs)
+        wfin = jnp.zeros((3, 3, n * cin, total),
+                         dt if dt is not None else jnp.float32)
+        bfin, off = [], 0
+        for i, (name, spec) in enumerate(specs):
+            k, b = finals[i]()
+            wfin = jax.lax.dynamic_update_slice(
+                wfin, k.astype(wfin.dtype), (0, 0, i * cin, off))
+            bfin.append(b)
+            off += spec["out_channels"]
+        hcat = jnp.concatenate([feats[i] for i in range(n)], axis=-1)
+        o = _conv3x3_same(hcat, wfin, dt)
+        o = o + jnp.concatenate(bfin).astype(o.dtype)
+
+        out, off = {}, 0
+        for name, spec in specs:
+            oc = spec["out_channels"]
+            out[name] = o[..., off : off + oc].astype(jnp.float32)
+            off += oc
         return out
 
 
