@@ -64,6 +64,16 @@ class _BranchConvBN(nn.Module):
 
 
 def _conv3x3_same(x, w, dt):
+    # Pin the ASSEMBLED kernel to replicated: w is concatenated / slice-
+    # updated from per-branch params that shard_state may have model-sharded,
+    # and XLA's SPMD partitioner miscompiles conv(spatial-sharded input,
+    # feature-sharded kernel) — the hybrid 2x2 mesh read a 5.4x wrong loss,
+    # reproduced on the CPU backend with a bare lax.conv (so it is the
+    # partitioner, not a TPU emitter).  The head kernels are ~100s of KB;
+    # replicated is also the right layout.
+    from ...parallel.sharding import replicate
+
+    w = replicate(w)
     if dt is not None:
         x, w = x.astype(dt), w.astype(dt)
     return jax.lax.conv_general_dilated(
@@ -220,9 +230,14 @@ class CenterHead(nn.Module):
                 "out_channels": len(class_ids),
                 "num_conv": self.model_cfg.get("NUM_HM_CONV", 2),
             }
+            import os as _os
+
             pred_dicts.append(SeparateHead(
                 sep, dtype=dt,
                 use_bias=self.model_cfg.get("USE_BIAS_BEFORE_NORM", False),
+                fused=self.model_cfg.get(
+                    "FUSED_BRANCHES",
+                    _os.environ.get("COM_TPU_FUSED_HEAD", "1") == "1"),
                 name=f"head_{idx}")(x, train))
         batch["pred_dicts"] = pred_dicts
         return batch

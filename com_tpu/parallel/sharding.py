@@ -62,6 +62,22 @@ def constrain(x, *spec):
         x, NamedSharding(mesh, P(*cleaned)))
 
 
+def replicate(x):
+    """Force x fully replicated on the active mesh (identity without one).
+
+    constrain() skips an all-None spec as "nothing requested", so it cannot
+    express replication — this can.  Needed where a sharded layout is
+    actively hazardous: XLA's SPMD partitioner miscompiles
+    conv(spatial-sharded input, output-feature-sharded kernel) — measured
+    err ~3.6 on unit-scale data, reproduced on the CPU backend 2026-08-19
+    (tools kept in tests/test_hybrid_sharding.py) — so assembled conv
+    weights must be pinned replicated before the conv."""
+    mesh = _ACTIVE["mesh"]
+    if mesh is None:
+        return x
+    return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, P()))
+
+
 def canvas_spec():
     """PartitionSpec entries for a (B, H, W, C) BEV canvas."""
     return ("data", "spatial", None, None)

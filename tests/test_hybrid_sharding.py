@@ -154,3 +154,25 @@ def test_hybrid_step_compact_canvas_matches_dense(monkeypatch):
         loss = float(metrics["loss"])
     assert np.isfinite(loss)
     np.testing.assert_allclose(loss, ref_loss, rtol=5e-4)
+
+
+def test_replicate_pins_assembled_weights():
+    """sharding.replicate forces P() on the active mesh (constrain cannot:
+    it skips an all-None spec).  This layout pin is load-bearing: XLA's
+    SPMD partitioner miscompiles conv(spatial-sharded input,
+    feature-sharded kernel) — the fused head's assembled kernels must
+    reach the conv replicated (found via a 5.4x wrong hybrid-2x2 loss,
+    2026-08-19, reproduced with a bare lax.conv on the CPU backend)."""
+    mesh = make_mesh(spatial=2, model=2)
+    shmod.activate(mesh)
+    w = jnp.ones((3, 3, 8, 4))
+    with mesh:
+        ws = jax.device_put(
+            w, NamedSharding(mesh, P(None, None, None, "model")))
+
+        out = jax.jit(lambda v: shmod.replicate(v) * 2.0)(ws)
+        assert out.sharding.is_fully_replicated
+        # constrain() with an all-None spec is a no-op by design
+        out2 = jax.jit(lambda v: shmod.constrain(v, None, None, None, None)
+                       * 2.0)(ws)
+        assert not out2.sharding.is_fully_replicated
