@@ -38,7 +38,8 @@ def make_cfg():
         REPO, "configs/waymo_models/com/centerpoint_pillar_3cls_com.yaml"))
     ds_cfg = CfgNode({
         "DATASET": "SyntheticDataset",
-        "NUM_SCENES": (N_BATCHES + 3) * BATCH, "NUM_OBJECTS": 48,
+        "NUM_SCENES": (max(N_BATCHES, 6 * max(WORKER_SWEEP)) + 4) * BATCH,
+        "NUM_OBJECTS": 48,
         "NUM_BG_POINTS": 120000,
         "POINT_CLOUD_RANGE": list(cfg.DATA_CONFIG.POINT_CLOUD_RANGE),
         "MAX_POINTS_PER_SCENE": NUM_POINTS, "MAX_GT_OBJECTS": 500,
@@ -69,11 +70,15 @@ def time_loader(ds_cfg, class_names, workers):
                                   training=True, seed=1, workers=workers)
     it = iter(loader)
     next(it)  # warm worker threads + caches
+    # The prefetch queue holds 2*workers batches; a measurement shorter than
+    # a few queue depths just drains the prefill buffer and reads as fake
+    # super-serial throughput.  Measure long enough to amortize it away.
+    n_meas = max(N_BATCHES, 6 * workers)
     t0 = time.perf_counter()
     n = 0
     for _ in it:
         n += 1
-        if n >= N_BATCHES:
+        if n >= n_meas:
             break
     dt = time.perf_counter() - t0
     return BATCH * n / dt
@@ -86,6 +91,9 @@ def phase_breakdown(ds_cfg, class_names, n_items=8):
 
     ds, _ = build_dataloader(ds_cfg, class_names, BATCH,
                              training=True, seed=1, workers=1)
+    ds[0]  # warm: one-time GT-database build + numpy caches must not be
+    # attributed to the augmentor phase (a cold first run once mis-read
+    # ~7 s of DB construction as "augmentor 960 ms/scene")
 
     def t_items():
         t0 = time.perf_counter()
