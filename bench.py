@@ -182,7 +182,9 @@ def _analytic_step_flops(step_fn, state, batch):
     import jax
 
     prev = os.environ.get("COM_TPU_CONV")
+    prev_ss = os.environ.get("COM_TPU_SEGSCAN")
     os.environ["COM_TPU_CONV"] = "xla"
+    os.environ["COM_TPU_SEGSCAN"] = "xla"  # Mosaic kernels can't lower CPU
     try:
         avals = jax.tree.map(
             lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), (state, batch))
@@ -198,6 +200,10 @@ def _analytic_step_flops(step_fn, state, batch):
             os.environ.pop("COM_TPU_CONV", None)
         else:
             os.environ["COM_TPU_CONV"] = prev
+        if prev_ss is None:
+            os.environ.pop("COM_TPU_SEGSCAN", None)
+        else:
+            os.environ["COM_TPU_SEGSCAN"] = prev_ss
 
 
 def run_bench_voxel():

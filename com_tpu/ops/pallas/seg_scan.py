@@ -168,7 +168,18 @@ def _run_bcast_ref(vals, seg, op):
 
 
 def _run_bcast_local(vals, seg, op, force=None):
-    backend = force or jax.default_backend()
+    # COM_TPU_SEGSCAN=xla reroutes to the segment_sum/max reference path
+    # even when the default backend is TPU — needed when lowering the step
+    # for a DIFFERENT target than the process default (bench.py's CPU-target
+    # cost analysis in an ambient-TPU process: the Mosaic kernel cannot
+    # lower for CPU, pallas_call.py "Only interpret mode is supported").
+    import os as _os
+
+    env = _os.environ.get("COM_TPU_SEGSCAN", "").lower()
+    backend = force or (env if env in ("xla", "interpret") else None) \
+        or jax.default_backend()
+    if backend == "xla":
+        return _run_bcast_ref(vals, seg, op)
     if backend == "tpu":
         return _run_bcast_pallas(vals, seg, op)
     if backend == "interpret":

@@ -29,7 +29,11 @@ def _mk(rng, b, n, nseg, c=8):
     ],
 )
 def test_interpret_matches_oracle(op, b, n, nseg):
-    rng = np.random.RandomState(hash((op, b, n, nseg)) % 2**31)
+    # zlib.crc32, not hash(): str hashing is randomized per process, so the
+    # drawn data differed every run and occasionally tripped the tolerance
+    import zlib
+
+    rng = np.random.RandomState(zlib.crc32(repr((op, b, n, nseg)).encode()))
     vals, seg = _mk(rng, b, n, nseg)
     got = run_bcast(vals, seg, op, "interpret")
     want = run_bcast(vals, seg, op, "cpu")
