@@ -40,6 +40,7 @@ BATCH = 2
 NUM_POINTS = 163840
 WARMUP = 3
 ITERS = 20
+REPEATS = 3  # timed passes; report the median + min/max spread
 
 _PROBE = (
     "import jax, jax.numpy as jnp; "
@@ -130,13 +131,21 @@ def run_bench():
     # (block_until_ready alone can return at enqueue time through the axon
     # tunnel, inflating throughput by ~100x — measured and excluded)
 
-    t0 = time.perf_counter()
-    for i in range(ITERS):
-        state, metrics = step(state, batch, 0)
-    loss = float(metrics["loss"])
-    dt = time.perf_counter() - t0
+    # N repeats -> median + spread: the axon tunnel/toolchain showed ~10%
+    # swings between single-pass runs (BENCH_r03 11.635 vs r04 10.64 with
+    # no code delta), so the driver-visible number carries its own
+    # dispersion instead of pretending one pass is exact (VERDICT r4 #4).
+    rates = []
+    for _ in range(REPEATS):
+        t0 = time.perf_counter()
+        for i in range(ITERS):
+            state, metrics = step(state, batch, 0)
+        loss = float(metrics["loss"])
+        rates.append(BATCH * ITERS / (time.perf_counter() - t0))
     assert loss == loss, "NaN loss in benchmark"
-    step_only = BATCH * ITERS / dt
+    rates.sort()
+    step_only = rates[len(rates) // 2]
+    dt = BATCH * ITERS / step_only  # median-pass seconds, for MFU
 
     # --- honest end-to-end: real host pipeline (synthetic Waymo-scale scenes
     # through augmentor + collate) + double-buffered device transfer.
@@ -159,13 +168,21 @@ def run_bench():
                          "(derivation + measured same-host CPU anchor: "
                          "BASELINE.md)",
         "hardware": "v5e (BASELINE.md 2x target assumed v5p)",
+        "spread": {"min": round(rates[0], 3), "max": round(rates[-1], 3),
+                   "passes": REPEATS, "iters_per_pass": ITERS},
     }
     if step_flops is not None:
         sec_per_step = ITERS and dt / ITERS
         out["step_tflops"] = round(step_flops / 1e12, 2)
-        # v5e bf16 peak ~197 TFLOP/s; flops are the pre-fusion HLO count
+        # v5e bf16 peak ~197 TFLOP/s.  The flop count is the pre-fusion HLO
+        # count of the XLA *reference lowering* of the Pallas ops
+        # (COM_TPU_CONV/SEGSCAN/STAMP=xla during the CPU-target trace), so
+        # the scatter/cumsum work in _run_bcast_ref is counted even though
+        # the deployed kernels never execute it — treat MFU as approximate.
         out["mfu_vs_v5e_bf16_peak"] = round(
             step_flops / sec_per_step / 197e12, 4)
+        out["mfu_note"] = ("flops from XLA reference lowering of Pallas ops "
+                           "(pre-fusion HLO count); approximate")
     if end_to_end is not None:
         out["end_to_end"] = round(end_to_end, 3)
     if host_pipeline is not None:
@@ -183,8 +200,10 @@ def _analytic_step_flops(step_fn, state, batch):
 
     prev = os.environ.get("COM_TPU_CONV")
     prev_ss = os.environ.get("COM_TPU_SEGSCAN")
+    prev_st = os.environ.get("COM_TPU_STAMP")
     os.environ["COM_TPU_CONV"] = "xla"
     os.environ["COM_TPU_SEGSCAN"] = "xla"  # Mosaic kernels can't lower CPU
+    os.environ["COM_TPU_STAMP"] = "xla"
     try:
         avals = jax.tree.map(
             lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), (state, batch))
@@ -204,6 +223,10 @@ def _analytic_step_flops(step_fn, state, batch):
             os.environ.pop("COM_TPU_SEGSCAN", None)
         else:
             os.environ["COM_TPU_SEGSCAN"] = prev_ss
+        if prev_st is None:
+            os.environ.pop("COM_TPU_STAMP", None)
+        else:
+            os.environ["COM_TPU_STAMP"] = prev_st
 
 
 def run_bench_voxel():
@@ -275,19 +298,25 @@ def run_bench_voxel():
     for _ in range(WARMUP):
         state, metrics = step(state, batch, 0)
     float(metrics["loss"])
-    t0 = time.perf_counter()
-    for _ in range(ITERS):
-        state, metrics = step(state, batch, 0)
-    loss = float(metrics["loss"])
-    dt = time.perf_counter() - t0
+    rates = []
+    for _ in range(REPEATS):
+        t0 = time.perf_counter()
+        for _ in range(ITERS):
+            state, metrics = step(state, batch, 0)
+        loss = float(metrics["loss"])
+        rates.append(BATCH * ITERS / (time.perf_counter() - t0))
     assert loss == loss, "NaN loss in voxel benchmark"
+    rates.sort()
+    dt = BATCH * ITERS / rates[len(rates) // 2]
     out = {
         "metric": "waymo_centerpoint_voxel_comloss_train_scenes_per_sec_per_chip",
-        "value": round(BATCH * ITERS / dt, 3),
+        "value": round(rates[len(rates) // 2], 3),
         "unit": "scenes/sec/chip",
         "voxels_per_scene": n_real // BATCH,
         "voxel_cap": max_vox,
         "hardware": "v5e",
+        "spread": {"min": round(rates[0], 3), "max": round(rates[-1], 3),
+                   "passes": REPEATS, "iters_per_pass": ITERS},
     }
     if step_flops is not None:
         out["step_tflops"] = round(step_flops / 1e12, 2)

@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 
 from ..models.dense_heads.target_assign import CenterTargets
-from ..ops.gaussian import stamp_squares_last_wins
+from ..ops.gaussian import stamp_squares_batched
 from .centernet import focal_loss_centernet
 
 
@@ -190,11 +190,10 @@ def focal_loss_center_curriculum(
             radius = jnp.zeros_like(radius)
         b, h, w, c = pred_hm.shape
         stamp_valid = valid & jnp.broadcast_to(in_window, valid.shape)
-        hm_mask = jax.vmap(
-            lambda ci, r, k, v, vals: stamp_squares_last_wins(
-                jnp.ones((c, h, w), pred_hm.dtype), ci, r, k, vals, v
-            )
-        )(targets.center_int, radius, targets.class_local, stamp_valid, weight)
+        hm_mask = stamp_squares_batched(
+            targets.center_int, radius, targets.class_local, weight,
+            stamp_valid, c, h, w, fill=1.0,
+        ).astype(pred_hm.dtype)
         hm_mask = jnp.transpose(hm_mask, (0, 2, 3, 1))  # NHWC
 
     loss = focal_loss_centernet(pred_hm, gt, mask=hm_mask)

@@ -13,7 +13,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ...ops.gaussian import draw_gaussians, gaussian_radius
+from ...ops.gaussian import draw_gaussians_batched, gaussian_radius
 
 
 class CenterTargets(NamedTuple):
@@ -130,11 +130,10 @@ def assign_centerpoint_targets(
         gate = jnp.asarray(True) if epoch_gate is None else epoch_gate
         valid = valid & jnp.where(gate, npgt >= min_points, True)
 
-    heatmaps = jax.vmap(
-        lambda c, r, k, v: draw_gaussians(
-            c, r, k, v, num_classes, fmap_h, fmap_w
-        )
-    )(center_int, radius, jnp.maximum(local, 0), valid)
+    heatmaps = draw_gaussians_batched(
+        center_int, radius, jnp.maximum(local, 0), valid,
+        num_classes, fmap_h, fmap_w,
+    )
     heatmaps = jnp.transpose(heatmaps, (0, 2, 3, 1))  # NHWC
 
     inds = center_int[..., 1] * fmap_w + center_int[..., 0]

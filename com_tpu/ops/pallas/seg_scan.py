@@ -174,8 +174,16 @@ def _run_bcast_local(vals, seg, op, force=None):
     # cost analysis in an ambient-TPU process: the Mosaic kernel cannot
     # lower for CPU, pallas_call.py "Only interpret mode is supported").
     import os as _os
+    import warnings as _warnings
 
     env = _os.environ.get("COM_TPU_SEGSCAN", "").lower()
+    if env == "cpu":  # alias for the reference path, like force="cpu"
+        env = "xla"
+    elif env and env not in ("xla", "interpret", "tpu"):
+        _warnings.warn(
+            f"COM_TPU_SEGSCAN={env!r} not recognized (want xla|cpu|"
+            "interpret|tpu); using default-backend dispatch", stacklevel=3)
+        env = ""
     backend = force or (env if env in ("xla", "interpret") else None) \
         or jax.default_backend()
     if backend == "xla":

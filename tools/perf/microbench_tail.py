@@ -93,7 +93,7 @@ def main():
 
     # --- loss fwd / fwd+bwd wrt head predictions ---
     pred0 = dict(out["pred_dicts"][0])
-    pred_names = sorted(pred0.keys())
+    pred_names = sorted(k for k in pred0 if k != "hm")
 
     def loss_of(preds_list, hm_first):
         pd = dict(zip(pred_names, preds_list))
