@@ -287,9 +287,33 @@ _conv3x3_fwd_sharded.def_partition(
 )
 
 
+def _wgrad_xla_native(x, g):
+    """XLA's own conv-transpose wgrad emitter, via the VJP of the reference
+    conv.  The dot9 path materializes nine shifted copies of the padded
+    input per layer; in the FULL program those showed up as ~22 ms/step of
+    pure `copy` ops in the device trace (tools/perf/profile_step.py) even
+    though dot9 wins every isolated microbench — the emitter keeps the
+    shifts internal to one fused conv."""
+    ci = x.shape[-1]
+    co = g.shape[-1]
+
+    def f(w):  # same-dtype conv so the VJP's transpose conv is same-dtype
+        return jax.lax.conv_general_dilated(
+            x, w, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    w0 = jnp.zeros((3, 3, ci, co), x.dtype)
+    _, vjp = jax.vjp(f, w0)
+    return vjp(g.astype(x.dtype))[0].astype(jnp.float32)
+
+
 def _wgrad_local(x, g, backend):
     if backend == "interpret":
         return _conv3x3_wgrad_pallas(x, g, interpret=True)
+    # COM_TPU_WGRAD=xla swaps dot9 for XLA's native transpose emitter in
+    # the whole program (trace-time knob; see _wgrad_xla_native).
+    if os.environ.get("COM_TPU_WGRAD", "").lower() == "xla":
+        return _wgrad_xla_native(x, g)
     # dot9: tap (dy,dx) of dw is one (BHW,ci)^T @ (BHW,co) dot over a
     # shifted view of padded x — nine MXU dots, bf16 operands, f32
     # accumulation.  This is the TPU path too (not just the CPU oracle):
