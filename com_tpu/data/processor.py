@@ -26,6 +26,30 @@ def filter_gt_arrays(data_dict, keep_mask):
     return data_dict
 
 
+def pipeline_presorts_points(data_cfg, voxel_size) -> bool:
+    """True iff the DATA_PROCESSOR list guarantees points reach the model
+    sorted by flat BEV pillar id at the model's own pillar scale — i.e.
+    sort_points_by_bev_pillar (with matching XY voxel size) appears and no
+    later processor reorders points.  Lets callers set the VFE's static
+    ASSUME_SORTED_POINTS flag (models/vfe.py), which removes the device
+    sort AND the lax.cond sortedness check from the jitted step."""
+    procs = list(getattr(data_cfg, "DATA_PROCESSOR", None) or [])
+    reordering = {"shuffle_points", "sample_points"}
+    sorted_ok = False
+    for p in procs:
+        name = p.get("NAME") if hasattr(p, "get") else p["NAME"]
+        if name == "sort_points_by_bev_pillar":
+            vs = p.get("VOXEL_SIZE", None)
+            if vs is None:
+                sorted_ok = True  # processor falls back to pipeline voxel size
+            else:
+                sorted_ok = (abs(float(vs[0]) - float(voxel_size[0])) < 1e-6
+                             and abs(float(vs[1]) - float(voxel_size[1])) < 1e-6)
+        elif name in reordering:
+            sorted_ok = False
+    return sorted_ok
+
+
 class DataProcessor:
     def __init__(self, processor_configs, point_cloud_range, training,
                  num_point_features, rng=None):
@@ -83,20 +107,25 @@ class DataProcessor:
 
     def sort_points_by_bev_pillar(self, data_dict, cfg):
         """Stable host-side sort by flat BEV pillar id so the device-side
-        sorted-scan VFE (DynamicPillarVFE SORTED_SCAN) skips its lax.sort
-        (~3-5 ms/step on TPU; the VFE checks sortedness in-graph and falls
-        back to the device sort if any borderline float disagrees).  Runs in
-        f32 with the same floor((x - x0)/v) formula as ops/voxelize.
-        point_voxel_ids."""
+        sorted-scan VFE (DynamicPillarVFE SORTED_SCAN) skips its lax.sort —
+        statically when ASSUME_SORTED_POINTS is set (pipeline_presorts_points
+        wires that), else via the in-graph sortedness cond.  Must replicate
+        ops/voxelize.point_voxel_ids EXACTLY (f32 floor((x-x0)/v) on all
+        THREE axes — z-outliers map to the trash id too); any disagreement
+        breaks strict sortedness, which silently re-sorts on the cond path
+        and mispools on the static path."""
         vs = np.asarray(cfg.get("VOXEL_SIZE", self.voxel_size), np.float32)
         pr = self.point_cloud_range
         nx = int(round(float(pr[3] - pr[0]) / float(vs[0])))
         ny = int(round(float(pr[4] - pr[1]) / float(vs[1])))
+        nz = max(1, int(round(float(pr[5] - pr[2]) / float(vs[2]))))
         p = data_dict["points"].astype(np.float32)
-        ix = np.floor((p[:, 0] - pr[0]) / vs[0]).astype(np.int64)
-        iy = np.floor((p[:, 1] - pr[1]) / vs[1]).astype(np.int64)
-        in_range = (ix >= 0) & (ix < nx) & (iy >= 0) & (iy < ny)
-        flat = np.where(in_range, iy * nx + ix, nx * ny)
+        v = (p[:, :3] - pr[None, 0:3].astype(np.float32)) / vs[None, :]
+        vi = np.floor(v).astype(np.int64)
+        in_range = ((vi[:, 0] >= 0) & (vi[:, 0] < nx)
+                    & (vi[:, 1] >= 0) & (vi[:, 1] < ny)
+                    & (vi[:, 2] >= 0) & (vi[:, 2] < nz))
+        flat = np.where(in_range, vi[:, 1] * nx + vi[:, 0], nx * ny)
         order = np.argsort(flat, kind="stable")
         data_dict["points"] = data_dict["points"][order]
         return data_dict

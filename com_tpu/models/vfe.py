@@ -310,22 +310,40 @@ class DynamicPillarVFE(nn.Module):
         )  # (B, N) in [0, hw]
         valid = pmask & in_range
         seg = jnp.where(valid, flat, hw)  # per-sample ids; trash run = hw
-        # one batched row-sort (last axis) carrying the point columns along.
-        # When the host pipeline pre-sorted (sort_points_by_bev_pillar
-        # processor), the in-graph check skips the device sort via lax.cond
-        # — the cond still compiles both branches but executes only the
-        # cheap one at runtime.
-        cols = [points[..., k] for k in range(f)] + [valid.astype(pt)]
-        is_sorted = jnp.all(seg[:, 1:] >= seg[:, :-1])
-        sorted_ = jax.lax.cond(
-            is_sorted,
-            lambda ops: tuple(ops),
-            lambda ops: tuple(jax.lax.sort(list(ops), num_keys=1)),
-            tuple([seg] + cols),
-        )
-        sseg = sorted_[0]
-        spts = jnp.stack(sorted_[1 : 1 + f], axis=-1)  # (B, N, F)
-        smask = sorted_[-1] > 0.5
+        assume_sorted = bool(self.model_cfg.get("ASSUME_SORTED_POINTS", False))
+        env_as = os.environ.get("COM_TPU_ASSUME_SORTED", "")
+        if env_as:
+            assume_sorted = env_as == "1"
+        if assume_sorted:
+            # The host pipeline contractually pre-sorted (the
+            # sort_points_by_bev_pillar processor, same floor((x-x0)/v)
+            # formula in f32 — processor.py:84); emit neither the device
+            # sort nor the lax.cond.  Statically removing the cond also
+            # unblocks XLA fusion across the former branch boundary
+            # (measured ~4 ms/step on the v5e vs the dynamic check).
+            # COM_TPU_CHECK_SORTED=1 adds a cheap in-graph guard that
+            # poisons the features with NaN if the contract is violated,
+            # so a mis-wired pipeline fails loudly instead of silently.
+            sseg, spts, smask = seg, points, valid
+            if os.environ.get("COM_TPU_CHECK_SORTED", "") == "1":
+                ok = jnp.all(seg[:, 1:] >= seg[:, :-1])
+                spts = jnp.where(ok, spts, jnp.nan)
+        else:
+            # one batched row-sort (last axis) carrying the point columns
+            # along.  When the host happened to pre-sort, the in-graph check
+            # skips the device sort via lax.cond — the cond still compiles
+            # both branches but executes only the cheap one at runtime.
+            cols = [points[..., k] for k in range(f)] + [valid.astype(pt)]
+            is_sorted = jnp.all(seg[:, 1:] >= seg[:, :-1])
+            sorted_ = jax.lax.cond(
+                is_sorted,
+                lambda ops: tuple(ops),
+                lambda ops: tuple(jax.lax.sort(list(ops), num_keys=1)),
+                tuple([seg] + cols),
+            )
+            sseg = sorted_[0]
+            spts = jnp.stack(sorted_[1 : 1 + f], axis=-1)  # (B, N, F)
+            smask = sorted_[-1] > 0.5
         ones = smask.astype(pt)[..., None]
         sxyz = spts[..., :3]
 

@@ -310,9 +310,13 @@ def _wgrad_xla_native(x, g):
 def _wgrad_local(x, g, backend):
     if backend == "interpret":
         return _conv3x3_wgrad_pallas(x, g, interpret=True)
-    # COM_TPU_WGRAD=xla swaps dot9 for XLA's native transpose emitter in
-    # the whole program (trace-time knob; see _wgrad_xla_native).
-    if os.environ.get("COM_TPU_WGRAD", "").lower() == "xla":
+    # Default wgrad is XLA's native transpose emitter: the full-step A/B
+    # (tools/perf/ab_wgrad_step.py) has it consistently ahead of dot9 by
+    # ~0.5% with non-overlapping spreads (12.72-12.77 vs 12.67-12.70
+    # scenes/s on the v5e) — dot9 wins isolated microbenches but its nine
+    # shifted-view copies cost more than they save in the fused program.
+    # COM_TPU_WGRAD=dot9 restores the nine-dot path.
+    if os.environ.get("COM_TPU_WGRAD", "xla").lower() == "xla":
         return _wgrad_xla_native(x, g)
     # dot9: tap (dy,dx) of dw is one (BHW,ci)^T @ (BHW,co) dot over a
     # shifted view of padded x — nine MXU dots, bf16 operands, f32

@@ -85,6 +85,36 @@ def test_batching_matches_direct_call(tiny_model):
         np.testing.assert_array_equal(g["labels"], labels[i][keep])
 
 
+@pytest.mark.quick
+def test_batching_logic_with_stub_model():
+    """Model-free quick-tier representative: batching, padding accounting,
+    and input validation against a numpy stub run fn (the real-model
+    round-trips below share a ~40 s jit fixture, too heavy for the tier)."""
+    B, N, F = 2, 128, 5
+
+    def run(batch):
+        b = batch["points"].shape[0]
+        k = 4
+        boxes = np.tile(np.arange(1, 8, dtype=np.float32), (b, k, 1))
+        scores = np.full((b, k), 0.9, np.float32)
+        labels = np.ones((b, k), np.int32)
+        valid = np.ones((b, k), bool)
+        return boxes, scores, labels, valid
+
+    spec = {"points": ((B, N, F), "float32"), "points_mask": ((B, N), "bool")}
+    srv = BatchServer(run, spec, max_wait_ms=1.0, score_thresh=0.5)
+    try:
+        out = srv.infer(np.zeros((16, F), np.float32))
+        assert out["boxes"].shape == (4, 7) and out["scores"].shape == (4,)
+        assert srv.stats.scenes_padded == 1  # 1 real + 1 padded
+        with pytest.raises(ValueError, match="exceeds the artifact cap"):
+            srv.submit(np.zeros((N + 1, F), np.float32))
+        with pytest.raises(ValueError, match="expected"):
+            srv.submit(np.zeros((10, 3), np.float32))
+    finally:
+        srv.close()
+
+
 def test_partial_batch_and_validation(tiny_model):
     run, manifest, meta = tiny_model
     rng = np.random.RandomState(1)

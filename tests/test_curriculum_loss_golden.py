@@ -1,5 +1,6 @@
 """COMLoss numeric parity vs a direct numpy port of the reference math
 (loss_utils.py:1179-1309 neg_loss internals)."""
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -81,6 +82,7 @@ def test_weight_formula_and_mask_stamp():
     np.testing.assert_allclose(np.asarray(aux.confidence_cnt), cnts, atol=1e-6)
 
 
+@pytest.mark.quick
 def test_masked_focal_matches_reference_math():
     """With UCL off: loss == -(pos_loss + neg_loss)/num_pos, CornerNet form."""
     rng = np.random.RandomState(1)

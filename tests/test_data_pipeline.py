@@ -51,6 +51,7 @@ def dataset_cfg(with_gt_sampling=True, n_scenes=4):
     })
 
 
+@pytest.mark.quick
 def test_pipeline_end_to_end_and_collate_shapes():
     ds, loader = build_dataloader(dataset_cfg(), CLASS_NAMES, batch_size=2,
                                   training=True, seed=7, workers=1)
@@ -94,6 +95,7 @@ def test_split_difficulty_groups_partition():
         np.testing.assert_array_equal(concat, np.sort(in_range))
 
 
+@pytest.mark.quick
 def test_v2_density_split_and_equal_share_draw():
     """Reference V2 semantics (database_sampler_v2.py:137-210): 3 distance
     bands, keep density > band 1/3-quantile, equal-share contiguous draw."""

@@ -38,6 +38,7 @@ def test_make_mesh_hybrid_shape():
         make_mesh(spatial=3)
 
 
+@pytest.mark.quick
 def test_constrain_shards_canvas():
     mesh = make_mesh(spatial=4)  # (2, 4, 1)
     shmod.activate(mesh)
@@ -60,6 +61,7 @@ def test_constrain_noop_without_mesh():
     assert np.asarray(out).shape == (2, 8, 8, 4)
 
 
+@pytest.mark.quick
 def test_shard_state_model_axis():
     _, state, _ = _setup(curriculum=False)
     mesh = make_mesh(spatial=2, model=2)

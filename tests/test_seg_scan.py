@@ -54,6 +54,7 @@ def test_grad_matches_oracle(op):
     np.testing.assert_allclose(g1, g2, rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.quick
 def test_samples_do_not_mix():
     # same segment id in consecutive samples must stay separate runs
     vals = jnp.ones((2, _TILE, 4), jnp.float32)

@@ -1,4 +1,5 @@
 """Sparse conv engine: dense-conv oracle tests + SECOND-style backbone."""
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -33,6 +34,7 @@ def random_sparse(rng, grid, n, cin):
     return coords.astype(np.int32), feats
 
 
+@pytest.mark.quick
 def test_submanifold_matches_dense_at_active_sites():
     rng = np.random.RandomState(0)
     grid = (4, 6, 6)
@@ -126,7 +128,7 @@ def test_voxel_backbone_8x_shapes():
         "voxel_coords": jnp.asarray(coords),
     }
     net = VoxelBackBone8x(
-        model_cfg=CfgNode({"CHANNELS": [8, 16, 32, 64]}),
+        model_cfg=CfgNode({"CHANNELS": [8, 16, 32, 64], "OUT_CHANNELS": 64}),
         input_channels=4, grid_size=grid_size, voxel_size=(0.1, 0.1, 0.15),
         point_cloud_range=(-1.6, -1.6, -0.6, 1.6, 1.6, 0.6),
     )
@@ -152,7 +154,7 @@ def test_voxel_res_backbone_8x():
     feats = rng.randn(b, v, 4).astype(np.float32)
     batch = {"pillar_features": jnp.asarray(feats), "voxel_coords": jnp.asarray(coords)}
     net = VoxelResBackBone8x(
-        model_cfg=CfgNode({"CHANNELS": [8, 16, 16, 32],
+        model_cfg=CfgNode({"CHANNELS": [8, 16, 16, 32], "OUT_CHANNELS": 32,
                            "VOXEL_CAPS": [128, 64, 32, 16]}),
         input_channels=4, grid_size=(32, 32, 8), voxel_size=(0.1, 0.1, 0.15),
         point_cloud_range=(-1.6, -1.6, -0.6, 1.6, 1.6, 0.6),

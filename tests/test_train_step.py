@@ -108,6 +108,7 @@ def test_overfit_loss_decreases():
     assert losses[-1] < losses[0] * 0.6, losses[::5]
 
 
+@pytest.mark.quick
 def test_curriculum_step_runs_and_reports_confidences():
     step, state, batch = _setup(curriculum=True)
     state, metrics = step(state, batch, 0)

@@ -122,3 +122,31 @@ def test_host_presort_processor_matches_device_sort():
     got, _ = _run({"SORTED_SCAN": True}, batch2)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=2e-4, atol=2e-4)
+
+    # static ASSUME_SORTED_POINTS path (no device sort, no cond) must match
+    got_static, _ = _run(
+        {"SORTED_SCAN": True, "ASSUME_SORTED_POINTS": True}, batch2)
+    np.testing.assert_allclose(np.asarray(got_static), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.quick
+def test_pipeline_presorts_points_detection():
+    """pipeline_presorts_points: sort processor present + matching voxel XY
+    => True; a later reordering processor or a mismatched voxel size => False."""
+    from com_tpu.data.processor import pipeline_presorts_points
+
+    sort = {"NAME": "sort_points_by_bev_pillar", "VOXEL_SIZE": [0.32, 0.32, 6.0]}
+    shuffle = {"NAME": "shuffle_points", "SHUFFLE_ENABLED": {"train": True}}
+
+    class DC:
+        def __init__(self, procs):
+            self.DATA_PROCESSOR = procs
+
+    vs = [0.32, 0.32, 6.0]
+    assert pipeline_presorts_points(DC([shuffle, sort]), vs)
+    assert not pipeline_presorts_points(DC([sort, shuffle]), vs)
+    assert not pipeline_presorts_points(DC([shuffle]), vs)
+    assert not pipeline_presorts_points(DC([sort]), [0.1, 0.1, 0.15])
+    assert pipeline_presorts_points(
+        DC([{"NAME": "sort_points_by_bev_pillar"}]), vs)

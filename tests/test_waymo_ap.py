@@ -40,6 +40,7 @@ BOX = [0.0, 0.0, 1.0, 4.0, 2.0, 1.8, 0.0]
 FAR = [20.0, 5.0, 1.0, 4.0, 2.0, 1.8, 0.0]
 
 
+@pytest.mark.quick
 def test_perfect_single_detection():
     infos = [_info([BOX], ["Vehicle"], [20])]
     dets = [_det([BOX], ["Vehicle"], [0.9])]

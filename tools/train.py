@@ -106,6 +106,12 @@ def main():
         cfg.CLASS_NAMES, dataset.point_cloud_range, vsize, grid,
         dataset.point_feature_encoder.num_point_features,
     )
+    from com_tpu.data.processor import pipeline_presorts_points
+    if ("VFE" in cfg.MODEL and "ASSUME_SORTED_POINTS" not in cfg.MODEL.VFE
+            and pipeline_presorts_points(cfg.DATA_CONFIG, vsize)):
+        # the pipeline contractually pre-sorts points by pillar id, so the
+        # sorted-scan VFE can statically drop its device sort + cond
+        cfg.MODEL.VFE["ASSUME_SORTED_POINTS"] = True
     net = build_network(cfg.MODEL, meta)
 
     from com_tpu.train.step import device_batch_keys
