@@ -86,13 +86,34 @@ class VoxelRCNNHead(nn.Module):
             )
             rel = cw - grid[:, :, None, :]
             grouped = jnp.concatenate([rel, nf], axis=-1)
-            if pool_cfg.get("PRE_MLP", False):
-                grouped = nn.relu(nn.Dense(mlps[0], name=f"pre_{src}")(grouped))
-            bsz, s_, k_, c_ = grouped.shape
-            pooled = PointNetBlock(mlps, name=f"pool_{src}")(
-                grouped.reshape(bsz * s_, k_, c_), empty.reshape(-1), train,
-                slot_valid=slot.reshape(bsz * s_, k_)
-            ).reshape(bsz, s_, -1)
+            if pool_cfg.get("PRE_MLP", False) and len(mlps) == 2:
+                # Reference factorization (voxel_pool_modules.py:90-126):
+                # per-neighbor fused layer + relu -> MAX over neighbors ->
+                # out Dense+BN+relu on the POOLED grid point.  pre_{src}
+                # is the exact eval fold of the reference's mlps_in +
+                # mlps_pos BN pairs (utils/torch_import.fold_voxelrcnn_pool);
+                # running the out MLP after the max matches the reference
+                # math and cuts its cost from S*K rows to S.  Deviation:
+                # empty balls pool to zero here, while the reference feeds
+                # its BN biases through (a learned constant).
+                h = nn.relu(nn.Dense(mlps[0], name=f"pre_{src}")(grouped))
+                h = jnp.where(slot[..., None], h, 0.0)  # pad slots (h >= 0)
+                pooled = h.max(axis=2)  # (B, S, C0)
+                pooled = nn.Dense(mlps[1], use_bias=False,
+                                  name=f"out_{src}")(pooled)
+                pooled = MaskedBatchNorm(name=f"out_bn_{src}")(
+                    pooled, mask=~empty, use_running_average=not train)
+                pooled = nn.relu(pooled)
+                pooled *= (~empty)[..., None].astype(pooled.dtype)
+            else:
+                if pool_cfg.get("PRE_MLP", False):
+                    grouped = nn.relu(
+                        nn.Dense(mlps[0], name=f"pre_{src}")(grouped))
+                bsz, s_, k_, c_ = grouped.shape
+                pooled = PointNetBlock(mlps, name=f"pool_{src}")(
+                    grouped.reshape(bsz * s_, k_, c_), empty.reshape(-1),
+                    train, slot_valid=slot.reshape(bsz * s_, k_)
+                ).reshape(bsz, s_, -1)
             pooled_all.append(pooled)
 
         x = jnp.concatenate(pooled_all, axis=-1).reshape(b, r, -1)

@@ -21,6 +21,11 @@ Covered module families (the reference model zoo's load-bearing set):
 * CenterHead + curriculum variants    (dense_head.shared_conv/heads_list)
 * AnchorHeadSingle (+ curriculum)     (dense_head.conv_cls/conv_box/conv_dir_cls)
 * VoxelBackBone8x / VoxelResBackBone8x (backbone_3d.conv_input/conv1..4/conv_out)
+* VoxelSetAbstraction                 (pfe.SA_rawpoints/SA_layers/fusion)
+* PointHeadSimple                     (point_head.cls_layers)
+* PVRCNNHead                          (roi_head.roi_grid_pool_layer/shared/cls/reg)
+* VoxelRCNNHead                       (roi_head.roi_grid_pool_layers [BN-folded
+                                       into our pre/out factorization] + FCs)
 * MeanVFE / HeightCompression / PointPillarScatter (no parameters)
 
 Use ``tools/import_torch_ckpt.py`` for the CLI (reads the .pth, writes an
@@ -58,6 +63,18 @@ def t_copy(w):
     return np.asarray(w)
 
 
+def t_conv1d(w):
+    """torch Conv1d k=1 (O, I, 1) -> flax Dense kernel (in, out)."""
+    w = np.asarray(w)
+    return np.ascontiguousarray(w[:, :, 0].T)
+
+
+def t_conv1x1(w):
+    """torch Conv2d 1x1 (O, I, 1, 1) -> flax Dense kernel (in, out)."""
+    w = np.asarray(w)
+    return np.ascontiguousarray(w[:, :, 0, 0].T)
+
+
 def t_spconv(w, k3: int):
     """spconv weight -> our rulebook kernel (k1*k2*k3, cin, cout).
 
@@ -82,10 +99,23 @@ def t_spconv(w, k3: int):
     return np.ascontiguousarray(w.reshape(k3, cin, cout))
 
 
+def t_bnvar_eps5(w):
+    """torch-default-eps (1e-5) BN running_var -> our MaskedBatchNorm
+    (eps=1e-3, models/layers.py:19) running_var, compensated so eval
+    normalization is EXACT: var' + 1e-3 == var + 1e-5.  The main zoo's BNs
+    are built with pcdet's norm_fn (eps=1e-3) and import uncompensated;
+    the roi-head / point-head / pointnet2-stack BNs use torch defaults
+    (e.g. roi_head_template.py:35, pointnet2_modules.py:60)."""
+    return np.maximum(np.asarray(w) - (1e-3 - 1e-5), 1e-12)
+
+
 _TRANSFORMS = {
     "linear": t_linear,
     "conv2d": t_conv2d,
     "deconv2d": t_deconv2d,
+    "conv1d": t_conv1d,
+    "conv1x1": t_conv1x1,
+    "bnvar_eps5": t_bnvar_eps5,
     "copy": t_copy,
 }
 
@@ -106,14 +136,18 @@ class Rule:
                 f"{'/'.join(self.path)} [{self.transform}])")
 
 
-def _bn_rules(tprefix, pprefix, bn_name="BatchNorm_0"):
+def _bn_rules(tprefix, pprefix, bn_name="BatchNorm_0", torch_default_eps=False):
     """torch BN (weight/bias/running_mean/running_var) -> flax scale/bias +
-    batch_stats mean/var."""
+    batch_stats mean/var.  torch_default_eps=True marks reference BNs built
+    WITHOUT pcdet's norm_fn (eps 1e-5 instead of 1e-3) — running_var is
+    compensated so our eps-1e-3 normalization matches exactly."""
+    var_t = "bnvar_eps5" if torch_default_eps else "copy"
     return [
         Rule(f"{tprefix}.weight", "params", (*pprefix, bn_name, "scale")),
         Rule(f"{tprefix}.bias", "params", (*pprefix, bn_name, "bias")),
         Rule(f"{tprefix}.running_mean", "batch_stats", (*pprefix, bn_name, "mean")),
-        Rule(f"{tprefix}.running_var", "batch_stats", (*pprefix, bn_name, "var")),
+        Rule(f"{tprefix}.running_var", "batch_stats", (*pprefix, bn_name, "var"),
+             var_t),
     ]
 
 
@@ -305,6 +339,262 @@ def map_voxel_backbone(cfg, top, residual=False):
     return rules
 
 
+def _stack_sa_rules(tprefix, ppath, n_layers):
+    """StackSAModuleMSG scale-0 shared MLP (pointnet2_stack/
+    pointnet2_modules.py:30-64: Sequential [Conv2d 1x1 no-bias, BN2d, ReLU]
+    per mlp step) -> our PointNetBlock's auto-numbered Dense_{k} +
+    MaskedBatchNorm_{k} (models/pfe.py:20-39).  Our configs are
+    single-scale, so only mlps.0 exists on both sides."""
+    rules = []
+    for k in range(n_layers):
+        t = f"{tprefix}.mlps.0.{3 * k}"
+        rules.append(Rule(f"{t}.weight", "params",
+                          (*ppath, f"Dense_{k}", "kernel"), "conv1x1"))
+        rules += _bn_rules(f"{tprefix}.mlps.0.{3 * k + 1}", ppath,
+                           f"MaskedBatchNorm_{k}", torch_default_eps=True)
+    return rules
+
+
+def map_vsa(pfe_cfg, top):
+    """VoxelSetAbstraction (voxel_set_abstraction.py:90-175): SA_rawpoints +
+    SA_layers.{k} (one per x_conv source, FEATURES_SOURCE order) +
+    vsa_point_feature_fusion [Linear no-bias, BN1d, ReLU] -> our sa_raw /
+    sa_{src} PointNetBlocks + vsa_point_feature_fusion Dense +
+    vsa_fusion_bn (models/pfe.py:59-171)."""
+    rules = []
+    sources = list(pfe_cfg.get("FEATURES_SOURCE", []))
+    sa_cfg = pfe_cfg.get("SA_LAYER", {})
+    if "raw_points" in sources:
+        mlps = list(sa_cfg.get("raw_points", {}).get("MLPS", [[16, 16]])[0])
+        rules += _stack_sa_rules("pfe.SA_rawpoints", (top, "sa_raw"),
+                                 len(mlps))
+    k = 0
+    for src in sources:
+        if not src.startswith("x_conv"):
+            continue
+        mlps = list(sa_cfg.get(src, {}).get("MLPS", [[32, 32]])[0])
+        rules += _stack_sa_rules(f"pfe.SA_layers.{k}", (top, f"sa_{src}"),
+                                 len(mlps))
+        k += 1
+    rules.append(Rule("pfe.vsa_point_feature_fusion.0.weight", "params",
+                      (top, "vsa_point_feature_fusion", "kernel"), "linear"))
+    rules += _bn_rules("pfe.vsa_point_feature_fusion.1", (top,),
+                       "vsa_fusion_bn", torch_default_eps=True)
+    return rules
+
+
+def map_point_head_simple(ph_cfg, top):
+    """PointHeadSimple (point_head_simple.py:7-21 via point_head_template
+    make_fc_layers:36-47: [Linear no-bias, BN1d, ReLU] per fc + biased
+    final Linear) -> our cls_fc_{i}/cls_bn_{i} + cls_out
+    (models/dense_heads/point_head.py:20-34)."""
+    rules = []
+    fcs = list(ph_cfg.get("CLS_FC", [256, 256]))
+    for i in range(len(fcs)):
+        t = f"point_head.cls_layers.{3 * i}"
+        rules.append(Rule(f"{t}.weight", "params",
+                          (top, f"cls_fc_{i}", "kernel"), "linear"))
+        rules += _bn_rules(f"point_head.cls_layers.{3 * i + 1}", (top,),
+                           f"cls_bn_{i}", torch_default_eps=True)
+    fi = 3 * len(fcs)
+    rules.append(Rule(f"point_head.cls_layers.{fi}.weight", "params",
+                      (top, "cls_out", "kernel"), "linear"))
+    rules.append(Rule(f"point_head.cls_layers.{fi}.bias", "params",
+                      (top, "cls_out", "bias")))
+    return rules
+
+
+def _make_fc_branch_rules(tprefix, top, name, fcs, transform):
+    """RoIHeadTemplate.make_fc_layers (roi_head_template.py:29-43):
+    [Conv1d k=1 no-bias, BN1d, ReLU] per fc with Dropout inserted after the
+    FIRST block only (the reference condition `DP_RATIO >= 0 and k == 0` is
+    always true), then the biased final Conv1d -> our {name}_fc_{i} +
+    {name}_bn_{i} + rcnn_{name} (roi_heads/pvrcnn_head.py:_fc_branch)."""
+    rules = []
+    seq = 0
+    for i in range(len(fcs)):
+        rules.append(Rule(f"{tprefix}.{seq}.weight", "params",
+                          (top, f"{name}_fc_{i}", "kernel"), transform))
+        rules += _bn_rules(f"{tprefix}.{seq + 1}", (top,), f"{name}_bn_{i}",
+                           torch_default_eps=True)
+        seq += 3
+        if i == 0:
+            seq += 1  # the always-inserted Dropout
+    rules.append(Rule(f"{tprefix}.{seq}.weight", "params",
+                      (top, f"rcnn_{name}", "kernel"), transform))
+    rules.append(Rule(f"{tprefix}.{seq}.bias", "params",
+                      (top, f"rcnn_{name}", "bias")))
+    return rules
+
+
+def _shared_fc_rules(top, fcs, dp_ratio, transform, drop_after_last=False):
+    """The inline shared_fc_layer Sequential (pvrcnn_head.py:20-32,
+    voxelrcnn_head.py:41-51): [Conv1d|Linear no-bias, BN1d, ReLU] per fc
+    with Dropout after every NON-last block when DP_RATIO > 0."""
+    rules = []
+    seq = 0
+    for i in range(len(fcs)):
+        t = f"roi_head.shared_fc_layer.{seq}"
+        rules.append(Rule(f"{t}.weight", "params",
+                          (top, f"shared_fc_{i}", "kernel"), transform))
+        rules += _bn_rules(f"roi_head.shared_fc_layer.{seq + 1}", (top,),
+                           f"shared_bn_{i}", torch_default_eps=True)
+        seq += 3
+        if dp_ratio > 0 and (drop_after_last or i != len(fcs) - 1):
+            seq += 1
+    return rules
+
+
+def map_pvrcnn_roi_head(cfg, top, num_class):
+    """PVRCNNHead (pvrcnn_head.py:8-43): roi_grid_pool_layer (StackSAModule
+    scale 0) + shared_fc_layer (Conv1d stack) + cls/reg make_fc_layers ->
+    our roi_grid_pointnet + shared_fc_{i}/shared_bn_{i} + _fc_branch."""
+    rules = []
+    mlps = list(cfg.get("ROI_GRID_POOL", {}).get("MLPS", [[64, 64]])[0])
+    rules += _stack_sa_rules("roi_head.roi_grid_pool_layer",
+                             (top, "roi_grid_pointnet"), len(mlps))
+    dp = float(cfg.get("DP_RATIO", 0.0))
+    rules += _shared_fc_rules(top, list(cfg.get("SHARED_FC", [256, 256])),
+                              dp, "conv1d")
+    rules += _make_fc_branch_rules("roi_head.cls_layers", top, "cls",
+                                   list(cfg.get("CLS_FC", [256, 256])),
+                                   "conv1d")
+    rules += _make_fc_branch_rules("roi_head.reg_layers", top, "reg",
+                                   list(cfg.get("REG_FC", [256, 256])),
+                                   "conv1d")
+    return rules
+
+
+def map_voxelrcnn_roi_head(cfg, top):
+    """VoxelRCNNHead FC part (voxelrcnn_head.py:40-80): shared_fc_layer
+    (nn.Linear stack) + cls/reg_fc_layers + cls/reg_pred_layer -> our
+    shared_fc_{i} + {name}_fc_{i} + {name}_out.  The grid-pool layers need
+    BN folding and are handled by the composite mapper
+    (fold_voxelrcnn_pool)."""
+    rules = []
+    dp = float(cfg.get("DP_RATIO", 0.0))
+    rules += _shared_fc_rules(top, list(cfg.get("SHARED_FC", [256, 256])),
+                              dp, "linear")
+    for name in ("cls", "reg"):
+        fcs = list(cfg.get(f"{name.upper()}_FC", [256, 256]))
+        seq = 0
+        for i in range(len(fcs)):
+            t = f"roi_head.{name}_fc_layers.{seq}"
+            rules.append(Rule(f"{t}.weight", "params",
+                              (top, f"{name}_fc_{i}", "kernel"), "linear"))
+            rules += _bn_rules(f"roi_head.{name}_fc_layers.{seq + 1}",
+                               (top,), f"{name}_bn_{i}",
+                               torch_default_eps=True)
+            seq += 3
+            if dp > 0 and i != len(fcs) - 1:
+                seq += 1
+        rules.append(Rule(f"roi_head.{name}_pred_layer.weight", "params",
+                          (top, f"{name}_out", "kernel"), "linear"))
+        rules.append(Rule(f"roi_head.{name}_pred_layer.bias", "params",
+                          (top, f"{name}_out", "bias")))
+    return rules
+
+
+# ---------------------------------------------------------------------------
+# composite mappers (consume several torch tensors per flax leaf)
+# ---------------------------------------------------------------------------
+
+
+def _fold_bn1d(w, bn_prefix, state_np, eps=1e-5):
+    """Fold an eval-mode torch BN (running stats) into the preceding
+    no-bias linear map: returns (W_folded (O, I), bias (O,)).  The voxel
+    pool modules build plain nn.BatchNorm1d/2d (torch default eps=1e-5,
+    voxel_pool_modules.py:36-48)."""
+    w = np.asarray(w, np.float64)
+    if w.ndim == 3:
+        w = w[:, :, 0]
+    elif w.ndim == 4:
+        w = w[:, :, 0, 0]
+    gamma = np.asarray(state_np[f"{bn_prefix}.weight"], np.float64)
+    beta = np.asarray(state_np[f"{bn_prefix}.bias"], np.float64)
+    mean = np.asarray(state_np[f"{bn_prefix}.running_mean"], np.float64)
+    var = np.asarray(state_np[f"{bn_prefix}.running_var"], np.float64)
+    scale = gamma / np.sqrt(var + eps)
+    return w * scale[:, None], beta - mean * scale
+
+
+def fold_voxelrcnn_pool(state_np, new_vars, report, consumed, *,
+                        roi_cfg, top):
+    """VoxelRCNN grid-pool import (voxel_pool_modules.py:8-110): the
+    reference factors the first MLP layer as
+        relu( BN_in(W_in @ feats)  +  BN_pos(W_pos @ rel_xyz) )
+    while ours is one biased Dense over concat([rel_xyz, feats]) (the
+    PRE_MLP pre_{src} layer, roi_heads/voxelrcnn_head.py:90).  At eval the
+    two BNs are affine, so they fold exactly:
+        kernel = [[fold(BN_pos)W_pos]^T ; [fold(BN_in)W_in]^T],
+        bias   = b_pos + b_in.
+    The reference then MAX-pools over neighbors and applies mlps_out
+    (Conv1d+BN+ReLU) on the pooled row (voxel_pool_modules.py:116-125);
+    our head mirrors that factorization exactly (roi_heads/
+    voxelrcnn_head.py PRE_MLP path: out_{src} Dense + out_bn_{src}), so
+    mlp_out imports 1:1 with eps-compensated running stats.  Exact for
+    eval on non-empty balls (empty balls: we pool to zero, the reference
+    feeds its BN biases through); training-from-import restarts the
+    folded BN stats (documented in the CLI)."""
+    sources = list(roi_cfg["ROI_GRID_POOL"].get(
+        "FEATURES_SOURCE", ["x_conv2", "x_conv3", "x_conv4"]))
+    params = new_vars["params"][top]
+    stats = new_vars["batch_stats"].setdefault(top, {})
+    for i, src in enumerate(sources):
+        t = f"roi_head.roi_grid_pool_layers.{i}"
+        keys = {
+            "in_w": f"{t}.mlps_in.0.0.weight",
+            "pos_w": f"{t}.mlps_pos.0.0.weight",
+            "out_w": f"{t}.mlps_out.0.0.weight",
+        }
+        bn_keys = []
+        for stem in ("mlps_in.0.1", "mlps_pos.0.1", "mlps_out.0.1"):
+            bn_keys += [f"{t}.{stem}.{s}" for s in
+                        ("weight", "bias", "running_mean", "running_var")]
+        missing = [k for k in list(keys.values()) + bn_keys
+                   if k not in state_np]
+        if missing:
+            report["missing"] += missing
+            continue
+        w_in, b_in = _fold_bn1d(state_np[keys["in_w"]],
+                                f"{t}.mlps_in.0.1", state_np)
+        w_pos, b_pos = _fold_bn1d(state_np[keys["pos_w"]],
+                                  f"{t}.mlps_pos.0.1", state_np)
+        pre = params.get(f"pre_{src}")
+        out = params.get(f"out_{src}")
+        if pre is None or out is None:
+            report["mismatch"].append(
+                (keys["in_w"], f"no flax pre_/out_{src} under {top} "
+                 "(PRE_MLP must be on, 2-entry MLPS, for import)"))
+            continue
+        kernel = np.concatenate([w_pos.T, w_in.T], axis=0)  # (3+C, mid)
+        if tuple(pre["kernel"].shape) != kernel.shape:
+            report["mismatch"].append(
+                (keys["in_w"], f"pre_{src} kernel {tuple(pre['kernel'].shape)}"
+                 f" vs folded {kernel.shape}"))
+            continue
+        pre["kernel"] = kernel.astype(np.asarray(pre["kernel"]).dtype)
+        pre["bias"] = (b_in + b_pos).astype(np.asarray(pre["bias"]).dtype)
+        # out_{src} Dense / out_bn_{src} <- mlp_out conv + BN (unfolded:
+        # our BN uses the imported running stats, eps-compensated)
+        out_w = t_conv1d(state_np[keys["out_w"]])
+        out["kernel"] = out_w.astype(np.asarray(out["kernel"]).dtype)
+        bn1 = params[f"out_bn_{src}"]
+        st1 = stats[f"out_bn_{src}"]
+        bn1["scale"] = np.asarray(state_np[f"{t}.mlps_out.0.1.weight"],
+                                  np.asarray(bn1["scale"]).dtype)
+        bn1["bias"] = np.asarray(state_np[f"{t}.mlps_out.0.1.bias"],
+                                 np.asarray(bn1["bias"]).dtype)
+        st1["mean"] = np.asarray(state_np[f"{t}.mlps_out.0.1.running_mean"],
+                                 np.asarray(st1["mean"]).dtype)
+        st1["var"] = t_bnvar_eps5(
+            state_np[f"{t}.mlps_out.0.1.running_var"]).astype(
+            np.asarray(st1["var"]).dtype)
+        for k in list(keys.values()) + bn_keys:
+            consumed.add(k)
+            report["loaded"].append(k)
+
+
 # ---------------------------------------------------------------------------
 # mapping assembly + application
 # ---------------------------------------------------------------------------
@@ -360,6 +650,35 @@ def build_mapping(model_cfg, class_names, variables):
         if top:
             rules += map_anchor_head(dh_cfg, top)
 
+    pfe_cfg = model_cfg.get("PFE") or {}
+    if pfe_cfg.get("NAME") == "VoxelSetAbstraction":
+        top = top_for("VoxelSetAbstraction")
+        if top:
+            rules += map_vsa(pfe_cfg, top)
+
+    ph_cfg = model_cfg.get("POINT_HEAD") or {}
+    if ph_cfg.get("NAME") == "PointHeadSimple":
+        # detectors mount the point head under an explicit "point_head"
+        # scope (models/detectors.py); fall back to the class auto-name
+        top = top_for("point_head", "PointHeadSimple")
+        if top:
+            rules += map_point_head_simple(ph_cfg, top)
+
+    rh_cfg = model_cfg.get("ROI_HEAD") or {}
+    rh_name = rh_cfg.get("NAME", "")
+    if rh_name == "PVRCNNHead":
+        # PVRCNN auto-names the head scope; PVRCNNPlusPlus mounts it as
+        # an explicit "roi_head" (models/detectors.py)
+        top = top_for("PVRCNNHead", "roi_head")
+        if top:
+            num_class = 1 if rh_cfg.get("CLASS_AGNOSTIC", True) else len(class_names)
+            rules += map_pvrcnn_roi_head(rh_cfg, top, num_class)
+    elif rh_name == "VoxelRCNNHead":
+        # the VoxelRCNN detector mounts it as "roi_head" (detectors.py)
+        top = top_for("VoxelRCNNHead", "roi_head")
+        if top:
+            rules += map_voxelrcnn_roi_head(rh_cfg, top)
+
     return rules
 
 
@@ -387,8 +706,13 @@ def _to_mutable(tree):
     return tree
 
 
-def apply_mapping(state_np, variables, rules):
+def apply_mapping(state_np, variables, rules, composites=()):
     """Apply rules to a template variable tree.
+
+    ``composites`` are callables(state_np, new_vars, report, consumed) that
+    consume SEVERAL torch tensors per flax leaf (e.g. the VoxelRCNN pool's
+    eval-time BN folding) and run after the plain rules, before the unused
+    census.
 
     Returns ``(new_variables, report)`` where report counts loaded /
     missing-in-ckpt / shape-mismatch tensors and lists the torch keys the
@@ -427,6 +751,8 @@ def apply_mapping(state_np, variables, rules):
         _tree_set(new_vars[rule.collection], rule.path,
                   val.astype(np.asarray(dst).dtype))
         report["loaded"].append(rule.torch_key)
+    for comp in composites:
+        comp(state_np, new_vars, report, consumed)
     skip_suffixes = ("num_batches_tracked",)
     for key in state_np:
         if key in consumed or key.endswith(skip_suffixes):
@@ -438,8 +764,18 @@ def apply_mapping(state_np, variables, rules):
 def import_torch_state_dict(state_dict, variables, model_cfg, class_names):
     """Top-level entry: torch ``model_state`` dict (tensors or ndarrays) ->
     (flax variables, report)."""
+    import functools
+
     state_np = {k: np.asarray(getattr(v, "detach", lambda: v)().cpu().numpy()
                               if hasattr(v, "cpu") else v)
                 for k, v in state_dict.items()}
     rules = build_mapping(model_cfg, class_names, variables)
-    return apply_mapping(state_np, variables, rules)
+    composites = []
+    rh_cfg = model_cfg.get("ROI_HEAD") or {}
+    if rh_cfg.get("NAME") == "VoxelRCNNHead":
+        tops = [t for t in variables["params"]
+                if t.startswith(("VoxelRCNNHead", "roi_head"))]
+        if tops:
+            composites.append(functools.partial(
+                fold_voxelrcnn_pool, roi_cfg=rh_cfg, top=tops[0]))
+    return apply_mapping(state_np, variables, rules, composites)

@@ -29,9 +29,15 @@ _PKG_DIRS = {
     "pcdet.models.dense_heads": REF / "models/dense_heads",
     "pcdet.models.dense_heads.target_assigner": REF / "models/dense_heads/target_assigner",
     "pcdet.models.detectors": REF / "models/detectors",
+    "pcdet.models.backbones_3d.pfe": REF / "models/backbones_3d/pfe",
+    "pcdet.models.roi_heads": REF / "models/roi_heads",
+    "pcdet.models.roi_heads.target_assigner":
+        REF / "models/roi_heads/target_assigner",
     "pcdet.ops": REF / "ops",
     "pcdet.ops.iou3d_nms": REF / "ops/iou3d_nms",
     "pcdet.ops.roiaware_pool3d": REF / "ops/roiaware_pool3d",
+    "pcdet.ops.pointnet2": REF / "ops/pointnet2",
+    "pcdet.ops.pointnet2.pointnet2_stack": REF / "ops/pointnet2/pointnet2_stack",
 }
 
 
@@ -95,7 +101,8 @@ def reference_modules(*names):
     for leaf in ("pcdet.ops.iou3d_nms.iou3d_nms_utils",
                  "pcdet.ops.iou3d_nms.iou3d_nms_cuda",
                  "pcdet.ops.roiaware_pool3d.roiaware_pool3d_utils",
-                 "pcdet.ops.roiaware_pool3d.roiaware_pool3d_cuda"):
+                 "pcdet.ops.roiaware_pool3d.roiaware_pool3d_cuda",
+                 "pcdet.ops.pointnet2.pointnet2_stack.pointnet2_stack_cuda"):
         stubs[leaf] = types.ModuleType(leaf)
         parent, _, attr = leaf.rpartition(".")
         setattr(stubs[parent], attr, stubs[leaf])
