@@ -501,6 +501,7 @@ class PointRCNN(PVRCNN):
         from ..utils.registry import DENSE_HEADS, ROI_HEADS
         from . import pointnet2_backbone as _pn2  # noqa: F401 (register)
         from . import roi_heads as _rh  # noqa: F401
+        from .dense_heads import point_head as _ph  # noqa: F401 (register)
         from .roi_heads.proposal_layer import proposal_layer
 
         b3d_cfg = self.model_cfg["BACKBONE_3D"]

@@ -26,6 +26,9 @@ Covered module families (the reference model zoo's load-bearing set):
 * PVRCNNHead                          (roi_head.roi_grid_pool_layer/shared/cls/reg)
 * VoxelRCNNHead                       (roi_head.roi_grid_pool_layers [BN-folded
                                        into our pre/out factorization] + FCs)
+* PointNet2MSG                        (backbone_3d.SA_modules/FP_modules)
+* PointHeadBox                        (point_head.cls_layers/box_layers)
+* PointRCNNHead                       (roi_head.xyz_up/merge_down/SA/cls/reg)
 * MeanVFE / HeightCompression / PointPillarScatter (no parameters)
 
 Use ``tools/import_torch_ckpt.py`` for the CLI (reads the .pth, writes an
@@ -339,20 +342,29 @@ def map_voxel_backbone(cfg, top, residual=False):
     return rules
 
 
+def _mlp_seq_rules(tprefix, ppath, n_layers, dense_fmt="Dense_{k}",
+                   bn_fmt="MaskedBatchNorm_{k}", transform="conv1x1"):
+    """A shared-MLP torch Sequential [Conv 1x1 no-bias, BN, ReLU] per step
+    (stride 3: weights at {3k}, BN at {3k+1}) -> our Dense + MaskedBatchNorm
+    pairs.  All such reference Sequentials are built with torch-default BN
+    eps (1e-5), hence the compensation."""
+    rules = []
+    for k in range(n_layers):
+        rules.append(Rule(f"{tprefix}.{3 * k}.weight", "params",
+                          (*ppath, dense_fmt.format(k=k), "kernel"),
+                          transform))
+        rules += _bn_rules(f"{tprefix}.{3 * k + 1}", ppath,
+                           bn_fmt.format(k=k), torch_default_eps=True)
+    return rules
+
+
 def _stack_sa_rules(tprefix, ppath, n_layers):
     """StackSAModuleMSG scale-0 shared MLP (pointnet2_stack/
     pointnet2_modules.py:30-64: Sequential [Conv2d 1x1 no-bias, BN2d, ReLU]
     per mlp step) -> our PointNetBlock's auto-numbered Dense_{k} +
     MaskedBatchNorm_{k} (models/pfe.py:20-39).  Our configs are
     single-scale, so only mlps.0 exists on both sides."""
-    rules = []
-    for k in range(n_layers):
-        t = f"{tprefix}.mlps.0.{3 * k}"
-        rules.append(Rule(f"{t}.weight", "params",
-                          (*ppath, f"Dense_{k}", "kernel"), "conv1x1"))
-        rules += _bn_rules(f"{tprefix}.mlps.0.{3 * k + 1}", ppath,
-                           f"MaskedBatchNorm_{k}", torch_default_eps=True)
-    return rules
+    return _mlp_seq_rules(f"{tprefix}.mlps.0", ppath, n_layers)
 
 
 def map_vsa(pfe_cfg, top):
@@ -383,33 +395,94 @@ def map_vsa(pfe_cfg, top):
     return rules
 
 
-def map_point_head_simple(ph_cfg, top):
-    """PointHeadSimple (point_head_simple.py:7-21 via point_head_template
-    make_fc_layers:36-47: [Linear no-bias, BN1d, ReLU] per fc + biased
-    final Linear) -> our cls_fc_{i}/cls_bn_{i} + cls_out
-    (models/dense_heads/point_head.py:20-34)."""
+def _point_fc_rules(tprefix, top, name, fcs):
+    """PointHeadTemplate.make_fc_layers (point_head_template.py:36-47:
+    [Linear no-bias, BN1d, ReLU] per fc + biased final Linear) -> our
+    {name}_fc_{i}/{name}_bn_{i} + {name}_out."""
     rules = []
-    fcs = list(ph_cfg.get("CLS_FC", [256, 256]))
     for i in range(len(fcs)):
-        t = f"point_head.cls_layers.{3 * i}"
-        rules.append(Rule(f"{t}.weight", "params",
-                          (top, f"cls_fc_{i}", "kernel"), "linear"))
-        rules += _bn_rules(f"point_head.cls_layers.{3 * i + 1}", (top,),
-                           f"cls_bn_{i}", torch_default_eps=True)
+        rules.append(Rule(f"{tprefix}.{3 * i}.weight", "params",
+                          (top, f"{name}_fc_{i}", "kernel"), "linear"))
+        rules += _bn_rules(f"{tprefix}.{3 * i + 1}", (top,),
+                           f"{name}_bn_{i}", torch_default_eps=True)
     fi = 3 * len(fcs)
-    rules.append(Rule(f"point_head.cls_layers.{fi}.weight", "params",
-                      (top, "cls_out", "kernel"), "linear"))
-    rules.append(Rule(f"point_head.cls_layers.{fi}.bias", "params",
-                      (top, "cls_out", "bias")))
+    rules.append(Rule(f"{tprefix}.{fi}.weight", "params",
+                      (top, f"{name}_out", "kernel"), "linear"))
+    rules.append(Rule(f"{tprefix}.{fi}.bias", "params",
+                      (top, f"{name}_out", "bias")))
     return rules
 
 
-def _make_fc_branch_rules(tprefix, top, name, fcs, transform):
+def map_point_head_simple(ph_cfg, top):
+    """PointHeadSimple (point_head_simple.py:7-21) -> our cls_fc_{i}/
+    cls_bn_{i} + cls_out (models/dense_heads/point_head.py:20-34)."""
+    return _point_fc_rules("point_head.cls_layers", top, "cls",
+                           list(ph_cfg.get("CLS_FC", [256, 256])))
+
+
+def map_point_head_box(ph_cfg, top):
+    """PointHeadBox (point_head_box.py:16-30: cls_layers + box_layers via
+    the template's make_fc_layers) -> our cls_*/box_* branches
+    (models/dense_heads/point_head.py PointHeadBox)."""
+    return (_point_fc_rules("point_head.cls_layers", top, "cls",
+                            list(ph_cfg.get("CLS_FC", [256, 256])))
+            + _point_fc_rules("point_head.box_layers", top, "box",
+                              list(ph_cfg.get("REG_FC", [256, 256]))))
+
+
+def map_pointnet2_msg(b3_cfg, top):
+    """PointNet2MSG (backbones_3d/pointnet2_backbone.py:9-48): SA_modules
+    (PointnetSAModuleMSG, one Conv2d-BN2d Sequential per radius scale) +
+    FP_modules (PointnetFPModule shared mlp) -> our sa_{k}/mlp_{ri} +
+    fp_{i}/fc_{j}+bn_{j} (models/pointnet2_backbone.py)."""
+    rules = []
+    sa_cfg = b3_cfg.get("SA_CONFIG", {})
+    for k, mlps_k in enumerate(list(sa_cfg.get("MLPS", []))):
+        for ri, m in enumerate(list(mlps_k)):
+            rules += _mlp_seq_rules(
+                f"backbone_3d.SA_modules.{k}.mlps.{ri}",
+                (top, f"sa_{k}", f"mlp_{ri}"), len(m))
+    for i, fp in enumerate(list(b3_cfg.get("FP_MLPS", []))):
+        rules += _mlp_seq_rules(f"backbone_3d.FP_modules.{i}.mlp",
+                                (top, f"fp_{i}"), len(fp),
+                                dense_fmt="fc_{k}", bn_fmt="bn_{k}")
+    return rules
+
+
+def map_pointrcnn_roi_head(cfg, top):
+    """PointRCNNHead (roi_heads/pointrcnn_head.py:10-66): xyz_up_layer +
+    merge_down_layer (Conv2d 1x1 stacks), single-scale SA_modules
+    (PointnetSAModule -> mlps.0), cls/reg make_fc_layers -> our
+    xyz_up_{k}/merge_down_0 Dense+BN, sa_{k}/mlp PointNetBlock,
+    {name}_fc_{i}/{name}_out branches."""
+    rules = []
+    xyz_up = list(cfg.get("XYZ_UP_LAYER", [128, 128]))
+    rules += _mlp_seq_rules("roi_head.xyz_up_layer", (top,), len(xyz_up),
+                            dense_fmt="xyz_up_{k}", bn_fmt="xyz_up_bn_{k}")
+    rules += _mlp_seq_rules("roi_head.merge_down_layer", (top,), 1,
+                            dense_fmt="merge_down_{k}",
+                            bn_fmt="merge_down_bn_{k}")
+    sa_cfg = cfg.get("SA_CONFIG", {})
+    for k, m in enumerate(list(sa_cfg.get("MLPS", []))):
+        rules += _mlp_seq_rules(f"roi_head.SA_modules.{k}.mlps.0",
+                                (top, f"sa_{k}", "mlp"), len(m))
+    for name, key in (("cls", "CLS_FC"), ("reg", "REG_FC")):
+        rules += _make_fc_branch_rules(
+            f"roi_head.{name}_layers", top, name,
+            list(cfg.get(key, [256, 256])), "conv1d",
+            out_name=f"{name}_out")
+    return rules
+
+
+def _make_fc_branch_rules(tprefix, top, name, fcs, transform,
+                          out_name=None):
     """RoIHeadTemplate.make_fc_layers (roi_head_template.py:29-43):
     [Conv1d k=1 no-bias, BN1d, ReLU] per fc with Dropout inserted after the
     FIRST block only (the reference condition `DP_RATIO >= 0 and k == 0` is
     always true), then the biased final Conv1d -> our {name}_fc_{i} +
-    {name}_bn_{i} + rcnn_{name} (roi_heads/pvrcnn_head.py:_fc_branch)."""
+    {name}_bn_{i} + rcnn_{name} (roi_heads/pvrcnn_head.py:_fc_branch), or
+    ``out_name`` where the head names its final layer differently."""
+    out_name = out_name or f"rcnn_{name}"
     rules = []
     seq = 0
     for i in range(len(fcs)):
@@ -421,9 +494,9 @@ def _make_fc_branch_rules(tprefix, top, name, fcs, transform):
         if i == 0:
             seq += 1  # the always-inserted Dropout
     rules.append(Rule(f"{tprefix}.{seq}.weight", "params",
-                      (top, f"rcnn_{name}", "kernel"), transform))
+                      (top, out_name, "kernel"), transform))
     rules.append(Rule(f"{tprefix}.{seq}.bias", "params",
-                      (top, f"rcnn_{name}", "bias")))
+                      (top, out_name, "bias")))
     return rules
 
 
@@ -631,6 +704,11 @@ def build_mapping(model_cfg, class_names, variables):
         if top:
             rules += map_voxel_backbone(
                 b3_cfg, top, residual=b3_cfg["NAME"] == "VoxelResBackBone8x")
+    elif b3_cfg.get("NAME") == "PointNet2MSG":
+        # PointRCNN mounts the backbone as "backbone_3d" (detectors.py)
+        top = top_for("backbone_3d", "PointNet2MSG")
+        if top:
+            rules += map_pointnet2_msg(b3_cfg, top)
 
     b2_cfg = model_cfg.get("BACKBONE_2D") or {}
     if b2_cfg.get("NAME") == "BaseBEVBackbone":
@@ -663,6 +741,10 @@ def build_mapping(model_cfg, class_names, variables):
         top = top_for("point_head", "PointHeadSimple")
         if top:
             rules += map_point_head_simple(ph_cfg, top)
+    elif ph_cfg.get("NAME") == "PointHeadBox":
+        top = top_for("point_head", "PointHeadBox")
+        if top:
+            rules += map_point_head_box(ph_cfg, top)
 
     rh_cfg = model_cfg.get("ROI_HEAD") or {}
     rh_name = rh_cfg.get("NAME", "")
@@ -678,6 +760,10 @@ def build_mapping(model_cfg, class_names, variables):
         top = top_for("VoxelRCNNHead", "roi_head")
         if top:
             rules += map_voxelrcnn_roi_head(rh_cfg, top)
+    elif rh_name == "PointRCNNHead":
+        top = top_for("PointRCNNHead", "roi_head")
+        if top:
+            rules += map_pointrcnn_roi_head(rh_cfg, top)
 
     return rules
 

@@ -38,6 +38,8 @@ _PKG_DIRS = {
     "pcdet.ops.roiaware_pool3d": REF / "ops/roiaware_pool3d",
     "pcdet.ops.pointnet2": REF / "ops/pointnet2",
     "pcdet.ops.pointnet2.pointnet2_stack": REF / "ops/pointnet2/pointnet2_stack",
+    "pcdet.ops.pointnet2.pointnet2_batch": REF / "ops/pointnet2/pointnet2_batch",
+    "pcdet.ops.roipoint_pool3d": REF / "ops/roipoint_pool3d",
 }
 
 
@@ -102,7 +104,9 @@ def reference_modules(*names):
                  "pcdet.ops.iou3d_nms.iou3d_nms_cuda",
                  "pcdet.ops.roiaware_pool3d.roiaware_pool3d_utils",
                  "pcdet.ops.roiaware_pool3d.roiaware_pool3d_cuda",
-                 "pcdet.ops.pointnet2.pointnet2_stack.pointnet2_stack_cuda"):
+                 "pcdet.ops.pointnet2.pointnet2_stack.pointnet2_stack_cuda",
+                 "pcdet.ops.pointnet2.pointnet2_batch.pointnet2_batch_cuda",
+                 "pcdet.ops.roipoint_pool3d.roipoint_pool3d_cuda"):
         stubs[leaf] = types.ModuleType(leaf)
         parent, _, attr = leaf.rpartition(".")
         setattr(stubs[parent], attr, stubs[leaf])
