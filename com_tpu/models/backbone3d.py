@@ -84,21 +84,25 @@ class SparseConvBlock(nn.Module):
 class SparseResBlock(nn.Module):
     """Residual pair of submanifold convs (SparseBasicBlock,
     spconv_backbone.py:30-67): conv1(+bias)+bn+relu -> conv2(+bias)+bn ->
-    add identity -> relu.  The reference's convs carry biases (bias =
-    norm_fn is not None) and the final relu runs AFTER the identity add."""
+    add identity -> relu.  The backbone variant's convs carry biases
+    (bias = norm_fn is not None) and the final relu runs AFTER the
+    identity add; the UNet decoder variant (spconv_unet.py:11-27) is
+    bias-free — use_bias selects."""
 
     channels: int
+    use_bias: bool = True
 
     @nn.compact
     def __call__(self, feats, coords, valid, grid_zyx, train: bool):
         identity = feats
         if identity.shape[-1] != self.channels:  # 1x1 projection shortcut
             identity = nn.Dense(self.channels, use_bias=False, name="proj")(identity)
-        x, *_ = SparseConvBlock(self.channels, use_bias=True, name="conv1")(
+        x, *_ = SparseConvBlock(self.channels, use_bias=self.use_bias,
+                                name="conv1")(
             feats, coords, valid, grid_zyx, train
         )
-        x, *_ = SparseConvBlock(self.channels, use_bias=True, relu=False,
-                                name="conv2")(
+        x, *_ = SparseConvBlock(self.channels, use_bias=self.use_bias,
+                                relu=False, name="conv2")(
             x, coords, valid, grid_zyx, train
         )
         out = nn.relu(x + identity) * valid[..., None].astype(x.dtype)
@@ -462,11 +466,15 @@ def focal_conv_loss(batch, voxel_size, point_cloud_range, gamma: float = 2.0):
 
 
 class InverseConvBlock(nn.Module):
-    """Inverse sparse conv + masked BN + ReLU (spconv_unet inverseconv)."""
+    """Inverse sparse conv + masked BN + ReLU (spconv_unet inverseconv).
+
+    ``pad`` must match the DOWNSAMPLING conv whose rulebook this inverts
+    (spconv reuses the forward indice rulebook via indice_key)."""
 
     out_channels: int
     stride: tuple = (2, 2, 2)
     kernel: int = 3
+    pad: int | tuple = 1
 
     @nn.compact
     def __call__(self, feats, coords, valid, grid_lo, hi_coords, hi_valid,
@@ -480,7 +488,8 @@ class InverseConvBlock(nn.Module):
         )
         out = jax.vmap(
             lambda f, c, v, hc, hv: sp.inverse_conv3d(
-                f, c, v, w, hc, hv, grid_lo, self.stride, self.kernel
+                f, c, v, w, hc, hv, grid_lo, self.stride, self.kernel,
+                pad=self.pad,
             )
         )(feats, coords, valid, hi_coords, hi_valid)
         out = MaskedBatchNorm()(out, mask=hi_valid, use_running_average=not train)
@@ -534,17 +543,25 @@ class UNetV2(nn.Module):
             x, coords, valid, grid, train)
         stages = [(x, coords, valid, grid)]
         for blk in range(1, 4):
+            # conv4's strided conv pads (0,1,1) like the encoder backbone
+            # (spconv_unet.py:90-94) — z genuinely shrinks
+            pad = (0, 1, 1) if blk == 3 else 1
             x, coords, valid, grid = SparseConvBlock(
                 chans[blk], stride=(2, 2, 2), out_cap=int(caps[blk]),
-                name=f"down{blk}")(x, coords, valid, grid, train)
+                pad=pad, name=f"down{blk}")(x, coords, valid, grid, train)
             for i in range(2):
                 x, coords, valid, grid = SparseConvBlock(
                     chans[blk], name=f"subm{blk}_{i}")(x, coords, valid, grid, train)
             stages.append((x, coords, valid, grid))
 
         if self.model_cfg.get("RETURN_ENCODED_TENSOR", True):
+            # (3,1,1) kernel, (2,1,1) stride, pad last_pad (spconv_unet.py:
+            # 100-106) — D=2 z-planes at the kitti scale, so MAP_TO_BEV's
+            # NUM_BEV_FEATURES = 2 * 128 matches the reference config
             xo, co, vo, go = SparseConvBlock(
-                128, stride=(2, 1, 1), out_cap=int(caps[3]), name="conv_out"
+                128, stride=(2, 1, 1), kernel=(3, 1, 1),
+                pad=int(self.model_cfg.get("last_pad", 0)),
+                out_cap=int(caps[3]), name="conv_out"
             )(x, coords, valid, grid, train)
             dense = jax.vmap(lambda f, c, m: sp.scatter_to_dense(f, c, m, go))(
                 xo, co, vo)
@@ -554,7 +571,8 @@ class UNetV2(nn.Module):
         # --- decoder (UR blocks, spconv_unet.py:141-149) ---
         def ur_block(lateral, bottom, stage_idx, out_ch, name, inverse=True):
             lx, lc, lv, lg = stages[stage_idx]
-            x_trans, *_ = SparseResBlock(lateral.shape[-1], name=f"{name}_t")(
+            x_trans, *_ = SparseResBlock(lateral.shape[-1], use_bias=False,
+                                         name=f"{name}_t")(
                 lateral, lc, lv, lg, train)
             cat = jnp.concatenate([bottom, x_trans], axis=-1)
             x_m, *_ = SparseConvBlock(out_ch if not inverse else lateral.shape[-1],
@@ -566,7 +584,9 @@ class UNetV2(nn.Module):
                     merged, lc, lv, lg, train)
                 return out
             hx, hc, hv, hg = stages[stage_idx - 1]
-            return InverseConvBlock(out_ch, name=f"{name}_inv")(
+            # invert the down conv's rulebook: down3 z-pads 0 (conv4 stage)
+            inv_pad = (0, 1, 1) if stage_idx == 3 else 1
+            return InverseConvBlock(out_ch, pad=inv_pad, name=f"{name}_inv")(
                 merged, lc, lv, lg, hc, hv, train)
 
         x4, *_ = stages[3]

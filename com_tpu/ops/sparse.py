@@ -21,10 +21,41 @@ p=1).
 """
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 import jax
 import jax.numpy as jnp
+
+# Engine selection (see submanifold_conv3d/strided_conv3d/inverse_conv3d):
+#   COM_TPU_SPARSE=v2 (default) — ONE batched neighbor lookup for all K^3
+#     taps + ONE row gather + ONE wide (V, K3*Cin) @ (K3*Cin, Cout) GEMM.
+#   COM_TPU_SPARSE=v1 — the original 27x (lookup + gather + narrow GEMM)
+#     loop, kept as the correctness oracle (tests run both).
+# Lookup mode inside v2:
+#   COM_TPU_SPARSE_LOOKUP=auto (default) — O(1) dense index-grid when the
+#     grid has <= COM_TPU_SPARSE_DENSE_CAP cells (int32 table, built with
+#     one V-row scatter), else sorted-key binary search.
+#   =dense / =sorted force either path.
+
+
+def _engine():
+    return os.environ.get("COM_TPU_SPARSE", "v2").lower()
+
+
+def _dense_cell_cap():
+    return int(os.environ.get("COM_TPU_SPARSE_DENSE_CAP", 100_000_000))
+
+
+def _use_dense_lookup(grid_zyx):
+    mode = os.environ.get("COM_TPU_SPARSE_LOOKUP", "auto").lower()
+    if mode == "dense":
+        return True
+    if mode == "sorted":
+        return False
+    nz, ny, nx = (int(g) for g in grid_zyx)
+    return nz * ny * nx <= _dense_cell_cap()
 
 
 def flat_key(coords, grid_zyx, valid):
@@ -63,6 +94,54 @@ def lookup(sorted_keys, order, query_keys):
     return jnp.where(hit, idx, -1)
 
 
+def _batched_lookup(coords, valid, grid_zyx, qcoords, qok):
+    """Neighbor row indices for a whole (K3, V, 3) query block at once.
+
+    Returns (K3, V) int32 indices into the original row array, -1 when the
+    queried cell is unoccupied/out-of-bounds.  Two interchangeable lookup
+    structures (same result, measured on TPU via tools/perf/
+    microbench_sparse.py): a sorted-key binary search (O(K3*V*logV) VPU
+    work, no big buffers) or a dense cell->row int32 table (O(1) per query,
+    one V-row scatter + (nz*ny*nx,) buffer)."""
+    k3, v = qok.shape
+    nz, ny, nx = (int(g) for g in grid_zyx)
+    qkeys = flat_key(qcoords.reshape(-1, 3), grid_zyx, qok.reshape(-1))
+    if _use_dense_lookup(grid_zyx):
+        ncells = nz * ny * nx
+        keys = flat_key(coords, grid_zyx, valid)
+        table = jnp.full((ncells + 1,), -1, jnp.int32)
+        table = table.at[jnp.where(valid, keys, ncells)].set(
+            jnp.arange(coords.shape[0], dtype=jnp.int32), mode="drop")
+        # invalid queries carry INT32_MAX -> route to the sentinel slot
+        safe_q = jnp.where(qkeys == jnp.iinfo(jnp.int32).max, ncells, qkeys)
+        nidx = table[safe_q]
+        # the sentinel slot may have been overwritten only by invalid rows
+        # (they also map to ncells) which are themselves -1-routed queries
+        nidx = jnp.where(qkeys == jnp.iinfo(jnp.int32).max, -1, nidx)
+    else:
+        sorted_keys, order = build_hash(coords, valid, grid_zyx)
+        nidx = lookup(sorted_keys, order, qkeys)
+    return nidx.reshape(k3, v)
+
+
+def _im2col_matmul(features, valid, nidx, weights, out_dtype):
+    """(K3, V) neighbor rows -> one wide GEMM.
+
+    Gathers all taps in one shot to (V, K3*Cin) and multiplies by the
+    (K3*Cin, Cout) reshaped kernel — K3x fewer, K3x wider MXU calls than
+    the per-tap loop, and one gather instead of K3."""
+    v, cin = features.shape
+    k3, q = nidx.shape  # q = query-site count (= v for subm, out_cap strided)
+    cout = weights.shape[-1]
+    feats_pad = jnp.concatenate(
+        [features * valid[:, None].astype(features.dtype),
+         jnp.zeros((1, cin), features.dtype)], axis=0)
+    gathered = feats_pad[jnp.where(nidx >= 0, nidx, v)]  # (K3, Q, Cin)
+    patches = gathered.transpose(1, 0, 2).reshape(q, k3 * cin)
+    return jnp.dot(patches, weights.reshape(k3 * cin, cout),
+                   preferred_element_type=out_dtype)
+
+
 def submanifold_conv3d(
     features,  # (V, Cin)
     coords,  # (V, 3) zyx
@@ -72,6 +151,9 @@ def submanifold_conv3d(
     kernel: int = 3,
 ):
     """SubMConv3d: output at input sites only (spconv SubMConv3d semantics)."""
+    if _engine() != "v1":
+        return _submanifold_conv3d_v2(features, coords, valid, weights,
+                                      grid_zyx, kernel)
     v = features.shape[0]
     cout = weights.shape[-1]
     sorted_keys, order = build_hash(coords, valid, grid_zyx)
@@ -95,6 +177,24 @@ def submanifold_conv3d(
         nidx = lookup(sorted_keys, order, qkeys)  # -1 when missing
         gathered = feats_pad[jnp.where(nidx >= 0, nidx, v)]
         out = out + jnp.dot(gathered, weights[k], preferred_element_type=out.dtype)
+    return out * valid[:, None].astype(out.dtype)
+
+
+def _submanifold_conv3d_v2(features, coords, valid, weights, grid_zyx,
+                           kernel=3):
+    """v2 SubMConv3d: batched lookup + im2col wide GEMM (same math as v1,
+    verified bit-level in tests/test_sparse_conv.py::test_engine_v1_v2)."""
+    nz, ny, nx = (int(g) for g in grid_zyx)
+    offs = jnp.asarray(_offsets(kernel), jnp.int32)  # (K3, 3)
+    nc = coords[None, :, :] + offs[:, None, :]  # (K3, V, 3)
+    inb = (
+        (nc[..., 0] >= 0) & (nc[..., 0] < nz)
+        & (nc[..., 1] >= 0) & (nc[..., 1] < ny)
+        & (nc[..., 2] >= 0) & (nc[..., 2] < nx)
+        & valid[None, :]
+    )
+    nidx = _batched_lookup(coords, valid, grid_zyx, nc, inb)
+    out = _im2col_matmul(features, valid, nidx, weights, features.dtype)
     return out * valid[:, None].astype(out.dtype)
 
 
@@ -173,6 +273,9 @@ def strided_conv3d(
     occupied input voxel (downsample_sites, incl. the odd-coordinate halo);
     each output gathers its footprint in input space: in = s*out + j - p,
     j in [0, k) per dim."""
+    if _engine() != "v1":
+        return _strided_conv3d_v2(features, coords, valid, weights, grid_zyx,
+                                  out_cap, stride, kernel, pad)
     cout = weights.shape[-1]
     v = features.shape[0]
     sorted_keys, order = build_hash(coords, valid, grid_zyx)
@@ -208,6 +311,43 @@ def strided_conv3d(
     return out * out_valid[:, None].astype(out.dtype), out_coords, out_valid, dgrid
 
 
+def _strided_conv3d_v2(features, coords, valid, weights, grid_zyx, out_cap,
+                       stride=(2, 2, 2), kernel=3, pad=1):
+    """v2 SparseConv3d: batched footprint lookup + im2col wide GEMM."""
+    out_coords, out_valid, dgrid = downsample_sites(
+        coords, valid, stride, out_cap, grid_zyx, kernel=kernel, pad=pad)
+    ker = (kernel,) * 3 if np.isscalar(kernel) else tuple(int(k) for k in kernel)
+    pd = (pad,) * 3 if np.isscalar(pad) else tuple(int(p) for p in pad)
+    offs = np.stack(
+        np.meshgrid(*[np.arange(k) - p for k, p in zip(ker, pd)],
+                    indexing="ij"), axis=-1).reshape(-1, 3)
+    nz, ny, nx = (int(g) for g in grid_zyx)
+    s = jnp.asarray(stride, jnp.int32)
+    in_coords = (out_coords[None, :, :] * s[None, None, :]
+                 + jnp.asarray(offs, jnp.int32)[:, None, :])  # (K3, O, 3)
+    inb = (
+        (in_coords[..., 0] >= 0) & (in_coords[..., 0] < nz)
+        & (in_coords[..., 1] >= 0) & (in_coords[..., 1] < ny)
+        & (in_coords[..., 2] >= 0) & (in_coords[..., 2] < nx)
+        & out_valid[None, :]
+    )
+    nidx = _batched_lookup(coords, valid, grid_zyx, in_coords, inb)
+    out = _im2col_matmul(features, valid, nidx, weights, features.dtype)
+    return (out * out_valid[:, None].astype(out.dtype),
+            out_coords, out_valid, dgrid)
+
+
+def _inv_offsets(kernel, pad):
+    """Per-axis offsets j - p, j in [0, k) — the transpose of
+    strided_conv3d's in = s*out + j - p rulebook (pad=1 cubic reproduces
+    the centered _offsets enumeration)."""
+    ker = (kernel,) * 3 if np.isscalar(kernel) else tuple(int(k) for k in kernel)
+    pd = (pad,) * 3 if np.isscalar(pad) else tuple(int(p) for p in pad)
+    return np.stack(
+        np.meshgrid(*[np.arange(k) - p for k, p in zip(ker, pd)],
+                    indexing="ij"), axis=-1).reshape(-1, 3)
+
+
 def inverse_conv3d(
     features,  # (Vlo, Cin) low-resolution features
     coords,  # (Vlo, 3) zyx at the DOWNSAMPLED resolution
@@ -218,16 +358,23 @@ def inverse_conv3d(
     grid_lo_zyx,  # static low-res grid
     stride=(2, 2, 2),
     kernel: int = 3,
+    pad=1,
 ):
     """SparseInverseConv3d role (spconv_unet.py inverseconv blocks): output at
     the known higher-resolution site set; output site c gathers the low-res
-    site l = (c - off) // s for each kernel offset where (c - off) is
-    divisible by the stride — the exact transpose of strided_conv3d's
-    in = s * out + off rulebook."""
+    site l = (c - off) // s for each kernel offset off = j - p where
+    (c - off) is divisible by the stride — the exact transpose of
+    strided_conv3d's in = s * out + j - p rulebook (spconv reuses the
+    forward conv's indice rulebook, so ``pad`` must match the downsampling
+    conv's padding, e.g. (0, 1, 1) for the z-unpadded conv4 stage)."""
+    if _engine() != "v1":
+        return _inverse_conv3d_v2(features, coords, valid, weights,
+                                  hi_coords, hi_valid, grid_lo_zyx,
+                                  stride, kernel, pad)
     cout = weights.shape[-1]
     vlo = features.shape[0]
     sorted_keys, order = build_hash(coords, valid, grid_lo_zyx)
-    offs = _offsets(kernel)
+    offs = _inv_offsets(kernel, pad)
     nzl, nyl, nxl = (int(g) for g in grid_lo_zyx)
     s = jnp.asarray(stride, jnp.int32)
 
@@ -250,6 +397,26 @@ def inverse_conv3d(
         nidx = lookup(sorted_keys, order, qkeys)
         gathered = feats_pad[jnp.where(nidx >= 0, nidx, vlo)]
         out = out + jnp.dot(gathered, weights[k], preferred_element_type=out.dtype)
+    return out * hi_valid[:, None].astype(out.dtype)
+
+
+def _inverse_conv3d_v2(features, coords, valid, weights, hi_coords, hi_valid,
+                       grid_lo_zyx, stride=(2, 2, 2), kernel=3, pad=1):
+    """v2 SparseInverseConv3d: batched transpose-rulebook lookup + im2col."""
+    nzl, nyl, nxl = (int(g) for g in grid_lo_zyx)
+    offs = jnp.asarray(_inv_offsets(kernel, pad), jnp.int32)  # (K3, 3)
+    s = jnp.asarray(stride, jnp.int32)
+    shifted = hi_coords[None, :, :] - offs[:, None, :]  # (K3, H, 3)
+    divisible = (shifted % s[None, None, :] == 0).all(axis=-1)
+    lo = shifted // s[None, None, :]
+    inb = (
+        divisible & hi_valid[None, :]
+        & (lo[..., 0] >= 0) & (lo[..., 0] < nzl)
+        & (lo[..., 1] >= 0) & (lo[..., 1] < nyl)
+        & (lo[..., 2] >= 0) & (lo[..., 2] < nxl)
+    )
+    nidx = _batched_lookup(coords, valid, grid_lo_zyx, lo, inb)
+    out = _im2col_matmul(features, valid, nidx, weights, features.dtype)
     return out * hi_valid[:, None].astype(out.dtype)
 
 

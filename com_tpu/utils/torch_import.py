@@ -102,6 +102,21 @@ def t_spconv(w, k3: int):
     return np.ascontiguousarray(w.reshape(k3, cin, cout))
 
 
+def t_spconv_dense(w):
+    """spconv 3x3x3 weight -> flax dense Conv kernel (3, 3, 3, cin, cout).
+
+    Accepts both spconv layouts (see t_spconv); our PartA2FCHead expresses
+    the reference's sparse convs over the pooled grid as dense convs
+    (roi_heads/parta2_head.py Conv3DBNReLU) — identical math on the dense
+    pooled canvas, so the 5D kernel carries over with no tap reorder."""
+    w = np.asarray(w)
+    if w.ndim != 5:
+        raise ValueError(f"spconv weight must be 5D, got {w.shape}")
+    if w.shape[0] != 3 and w.shape[1] == w.shape[2] == w.shape[3] == 3:
+        w = w.transpose(1, 2, 3, 4, 0)  # implicit-gemm (cout, k, k, k, cin)
+    return np.ascontiguousarray(w)
+
+
 def t_bnvar_eps5(w):
     """torch-default-eps (1e-5) BN running_var -> our MaskedBatchNorm
     (eps=1e-3, models/layers.py:19) running_var, compensated so eval
@@ -118,6 +133,7 @@ _TRANSFORMS = {
     "deconv2d": t_deconv2d,
     "conv1d": t_conv1d,
     "conv1x1": t_conv1x1,
+    "spconv_dense": t_spconv_dense,
     "bnvar_eps5": t_bnvar_eps5,
     "copy": t_copy,
 }
@@ -474,6 +490,83 @@ def map_pointrcnn_roi_head(cfg, top):
     return rules
 
 
+def map_unet_v2(cfg, top):
+    """UNetV2 (spconv_unet.py:54-131): VoxelBackBone8x-shaped encoder +
+    UR-block decoder -> our conv_input/conv1/down{s}/subm{s}_{i}/conv_out +
+    up{k}_{t,m,inv} and up1_{t,m,post} (models/backbone3d.py UNetV2)."""
+    rules = []
+
+    def block(tprefix, pname, transform="spconv27"):
+        p = (top, pname)
+        rules.append(Rule(f"{tprefix}.0.weight", "params",
+                          (*p, "kernel"), transform))
+        rules.extend(_bn_rules(f"{tprefix}.1", p, "MaskedBatchNorm_0"))
+
+    def resblock(tprefix, pname):
+        # SparseBasicBlock (spconv_unet.py:11-27; bias=False, unlike the
+        # spconv_backbone variant)
+        for j in (1, 2):
+            p = (top, pname, f"conv{j}")
+            rules.append(Rule(f"{tprefix}.conv{j}.weight", "params",
+                              (*p, "kernel"), "spconv27"))
+            rules.extend(_bn_rules(f"{tprefix}.bn{j}", p, "MaskedBatchNorm_0"))
+
+    block("backbone_3d.conv_input", "conv_input")
+    block("backbone_3d.conv1.0", "conv1")
+    for s_ in (2, 3, 4):
+        block(f"backbone_3d.conv{s_}.0", f"down{s_ - 1}")
+        for j in (1, 2):
+            block(f"backbone_3d.conv{s_}.{j}", f"subm{s_ - 1}_{j - 1}")
+    if cfg.get("RETURN_ENCODED_TENSOR", True):
+        block("backbone_3d.conv_out", "conv_out", "spconv3")
+    for k in (4, 3, 2):
+        resblock(f"backbone_3d.conv_up_t{k}", f"up{k}_t")
+        block(f"backbone_3d.conv_up_m{k}", f"up{k}_m")
+        block(f"backbone_3d.inv_conv{k}", f"up{k}_inv")
+    resblock("backbone_3d.conv_up_t1", "up1_t")
+    block("backbone_3d.conv_up_m1", "up1_m")
+    block("backbone_3d.conv5.0", "up1_post")
+    return rules
+
+
+def map_point_intra_part(ph_cfg, top):
+    """PointIntraPartOffsetHead (point_intra_part_head.py:16-37: cls_layers
+    + part_reg_layers + optional box_layers) -> our cls_*/part_*/box_*
+    branches (models/dense_heads/point_head.py PointIntraPartOffsetHead)."""
+    rules = _point_fc_rules("point_head.cls_layers", top, "cls",
+                            list(ph_cfg.get("CLS_FC", [128])))
+    rules += _point_fc_rules("point_head.part_reg_layers", top, "part",
+                             list(ph_cfg.get("PART_FC", [128])))
+    if "REG_FC" in ph_cfg:
+        rules += _point_fc_rules("point_head.box_layers", top, "box",
+                                 list(ph_cfg["REG_FC"]))
+    return rules
+
+
+def map_parta2_roi_head(cfg, top):
+    """PartA2FCHead (partA2_head.py:10-52): conv_part/conv_rpn sparse conv
+    pairs over the pooled grid (our dense Conv3DBNReLU equivalents,
+    eps-1e-3 BNs -> no compensation), Conv1d shared FCs, cls/reg
+    make_fc_layers with {name}_out finals."""
+    rules = []
+    for stem in ("part", "rpn"):
+        for j in (0, 1):
+            t = f"roi_head.conv_{stem}.{j}"
+            p = (top, f"conv_{stem}_{j}")
+            rules.append(Rule(f"{t}.0.weight", "params",
+                              (*p, "Conv_0", "kernel"), "spconv_dense"))
+            rules += _bn_rules(f"{t}.1", p, "MaskedBatchNorm_0")
+    dp = float(cfg.get("DP_RATIO", 0.0))
+    rules += _shared_fc_rules(top, list(cfg.get("SHARED_FC", [256, 256])),
+                              dp, "conv1d")
+    for name, key in (("cls", "CLS_FC"), ("reg", "REG_FC")):
+        rules += _make_fc_branch_rules(
+            f"roi_head.{name}_layers", top, name,
+            list(cfg.get(key, [256, 256])), "conv1d",
+            out_name=f"{name}_out")
+    return rules
+
+
 def _make_fc_branch_rules(tprefix, top, name, fcs, transform,
                           out_name=None):
     """RoIHeadTemplate.make_fc_layers (roi_head_template.py:29-43):
@@ -709,6 +802,10 @@ def build_mapping(model_cfg, class_names, variables):
         top = top_for("backbone_3d", "PointNet2MSG")
         if top:
             rules += map_pointnet2_msg(b3_cfg, top)
+    elif b3_cfg.get("NAME") == "UNetV2":
+        top = top_for("UNetV2")
+        if top:
+            rules += map_unet_v2(b3_cfg, top)
 
     b2_cfg = model_cfg.get("BACKBONE_2D") or {}
     if b2_cfg.get("NAME") == "BaseBEVBackbone":
@@ -745,6 +842,10 @@ def build_mapping(model_cfg, class_names, variables):
         top = top_for("point_head", "PointHeadBox")
         if top:
             rules += map_point_head_box(ph_cfg, top)
+    elif ph_cfg.get("NAME") == "PointIntraPartOffsetHead":
+        top = top_for("point_head", "PointIntraPartOffsetHead")
+        if top:
+            rules += map_point_intra_part(ph_cfg, top)
 
     rh_cfg = model_cfg.get("ROI_HEAD") or {}
     rh_name = rh_cfg.get("NAME", "")
@@ -764,6 +865,10 @@ def build_mapping(model_cfg, class_names, variables):
         top = top_for("PointRCNNHead", "roi_head")
         if top:
             rules += map_pointrcnn_roi_head(rh_cfg, top)
+    elif rh_name == "PartA2FCHead":
+        top = top_for("PartA2FCHead", "roi_head")
+        if top:
+            rules += map_parta2_roi_head(rh_cfg, top)
 
     return rules
 
@@ -814,10 +919,16 @@ def apply_mapping(state_np, variables, rules, composites=()):
             report["missing"].append(rule.torch_key)
             continue
         consumed.add(rule.torch_key)
-        if rule.transform.startswith("spconv"):
+        if rule.transform in ("spconv27", "spconv3"):
             k3 = 27 if rule.transform == "spconv27" else 3
             try:
                 val = t_spconv(src, k3)
+            except ValueError as e:
+                report["mismatch"].append((rule.torch_key, str(e)))
+                continue
+        elif rule.transform == "spconv_dense":
+            try:
+                val = t_spconv_dense(src)
             except ValueError as e:
                 report["mismatch"].append((rule.torch_key, str(e)))
                 continue

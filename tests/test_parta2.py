@@ -148,14 +148,14 @@ def test_parta2_train_step_runs_and_is_finite():
     from com_tpu.train.step import make_train_step
 
     rng = np.random.RandomState(0)
-    pc_range = [-16, -16, -1.6, 16, 16, 1.6]
-    vsize = [0.5, 0.5, 0.4]
+    pc_range = [-16, -16, -2.4, 16, 16, 2.4]
+    vsize = [0.5, 0.5, 0.2]
     b = 1
     vox_l, coords_l, num_l = [], [], []
     gt = np.zeros((b, 6, 8), np.float32)
     for i in range(b):
         pts = np.concatenate(
-            [rng.uniform(-14, 14, (3000, 2)), rng.uniform(-1.4, 1.4, (3000, 1)),
+            [rng.uniform(-14, 14, (3000, 2)), rng.uniform(-2.2, 2.2, (3000, 1)),
              rng.rand(3000, 2)], axis=1).astype(np.float32)
         vox, coords, num = voxelize_points(pts, pc_range, vsize, 5, 1024,
                                            pad_to_max=True)
@@ -169,7 +169,7 @@ def test_parta2_train_step_runs_and_is_finite():
         "voxel_num_points": jnp.asarray(np.stack(num_l)),
         "gt_boxes": jnp.asarray(gt),
     }
-    meta = DatasetMeta(CLASS_NAMES, pc_range, vsize, (64, 64, 8), 5)
+    meta = DatasetMeta(CLASS_NAMES, pc_range, vsize, (64, 64, 24), 5)
     cfg = parta2_cfg()
     net = build_network(cfg, meta)
     variables = jax.jit(net.init, static_argnames=("train",))(
