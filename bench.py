@@ -165,7 +165,8 @@ def run_bench():
         "unit": "scenes/sec/chip",
         "vs_baseline": round(step_only / A100_BASELINE_SCENES_PER_SEC, 3),
         "baseline_note": "7.0 scenes/sec/chip A100 ESTIMATE "
-                         "(derivation + measured same-host CPU anchor: "
+                         "(written derivation + measured same-host CPU "
+                         "executable-sameness anchor: "
                          "BASELINE.md)",
         "hardware": "v5e (BASELINE.md 2x target assumed v5p)",
         "spread": {"min": round(rates[0], 3), "max": round(rates[-1], 3),
