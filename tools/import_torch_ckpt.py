@@ -12,10 +12,12 @@ optimizer and curriculum state start fresh, matching the reference's own
 --ckpt <out>``.
 
 Covered module families + layout transforms: see
-com_tpu/utils/torch_import.py.  The tool prints a per-tensor report; any
-"unused" torch keys (module families outside the mapper, e.g. RoI heads) and
-any shape mismatches are listed so partial imports are explicit, and the exit
-code is non-zero when nothing mapped.
+com_tpu/utils/torch_import.py — the single-stage zoo plus the two-stage
+heads (PV-RCNN, VoxelRCNN, PointRCNN, PartA2).  The tool prints a
+per-tensor report; any "unused" torch keys (module families outside the
+mapper, e.g. MPPNet's transformer) and any shape mismatches are listed so
+partial imports are explicit, and the exit code is non-zero when nothing
+mapped.
 """
 from __future__ import annotations
 
