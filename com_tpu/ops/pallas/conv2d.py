@@ -75,24 +75,46 @@ def _pick_th(wd, cin, cout, itemsize):
 _TH_CACHE: dict = {}
 
 
-def _probe_th(wd, cin, cout, dtype):
+def _th_candidates(wd, cin, cout, itemsize, h):
+    """Ordered tile-height candidates.  Divisors of H come FIRST (a
+    divisor tile removes the (-h % th) canvas pad + out[:, :h] slice the
+    kernel otherwise needs — at 468x468 that is a whole-canvas copy per
+    conv per pass, fwd AND dgrad): largest fitting divisor in [8, 48],
+    then the pow2 ladder as fallback.  th is a leading (untiled) block
+    dim, so non-multiple-of-8 heights like 12 or 13 are structurally fine.
+    Default stays the measured pow2 ladder until the divisor mode's
+    full-step A/B runs on the TPU (tunnel-blocked 2026-08-20);
+    COM_TPU_CONV_TH_MODE=divisor enables it."""
+    import os
+
+    pow2 = [t for t in (32, 16, 8)
+            if _vmem_footprint(t, wd, cin, cout, itemsize) <= _VMEM_BUDGET]
+    if os.environ.get("COM_TPU_CONV_TH_MODE", "pow2") != "divisor" or not h:
+        return pow2
+    divs = [t for t in range(48, 7, -1) if h % t == 0
+            and _vmem_footprint(t, wd, cin, cout, itemsize) <= _VMEM_BUDGET]
+    return divs + [t for t in pow2 if t not in divs]
+
+
+def _probe_th(wd, cin, cout, dtype, h=None):
     """Trace-time pick of the fwd kernel's tile height for one conv shape:
-    footprint model proposes, a real Mosaic compile (on shape structs — no
-    device buffers, one-time per shape per process) disposes.  Grid height
-    does not enter scoped-VMEM accounting, so the probe uses a minimal
-    2-tile canvas regardless of the caller's H."""
+    footprint model proposes (divisors of H preferred — see
+    _th_candidates), a real Mosaic compile (on shape structs — no device
+    buffers, one-time per shape per process) disposes.  Grid height does
+    not enter scoped-VMEM accounting, so the probe uses a minimal 2-tile
+    canvas regardless of the caller's H."""
     import os
 
     forced = os.environ.get("COM_TPU_CONV_TH")
     if forced:
         return int(forced)
     itemsize = jnp.dtype(dtype).itemsize
-    key = (wd, cin, cout, itemsize)
+    key = (wd, cin, cout, itemsize, h,
+           os.environ.get("COM_TPU_CONV_TH_MODE", "pow2"))
     if key in _TH_CACHE:
         return _TH_CACHE[key]
-    th0 = _pick_th(wd, cin, cout, itemsize)
     chosen = None
-    for th in (t for t in (32, 16, 8) if t <= th0):
+    for th in _th_candidates(wd, cin, cout, itemsize, h):
         try:
             xs = jax.ShapeDtypeStruct((1, 2 * th, wd, cin), dtype)
             ws = jax.ShapeDtypeStruct((3, 3, cin, cout), dtype)
@@ -461,7 +483,8 @@ def _route_fwd(x, cout, force):
     if backend == "tpu":
         if not _fits_vmem(x, cout):
             return "cpu", None  # oversized window
-        th = _probe_th(x.shape[2], x.shape[3], cout, x.dtype)
+        th = _probe_th(x.shape[2], x.shape[3], cout, x.dtype,
+                       h=x.shape[1])
         if th is None:
             return "cpu", None  # Mosaic rejected every tile for this shape
     return backend, th
