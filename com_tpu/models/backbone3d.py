@@ -37,7 +37,8 @@ class SparseConvBlock(nn.Module):
     relu: bool = True  # res blocks relu AFTER the identity add
 
     @nn.compact
-    def __call__(self, feats, coords, valid, grid_zyx, train: bool):
+    def __call__(self, feats, coords, valid, grid_zyx, train: bool,
+                 nidx=None):
         cin = feats.shape[-1]
         ker = ((self.kernel,) * 3 if isinstance(self.kernel, int)
                else tuple(int(k) for k in self.kernel))
@@ -50,9 +51,16 @@ class SparseConvBlock(nn.Module):
         )
         if self.stride is None:
             assert ker[0] == ker[1] == ker[2], "submanifold kernels are cubic"
-            out = jax.vmap(
-                lambda f, c, v: sp.submanifold_conv3d(f, c, v, w, grid_zyx, ker[0])
-            )(feats, coords, valid)
+            if nidx is None:
+                out = jax.vmap(
+                    lambda f, c, v: sp.submanifold_conv3d(
+                        f, c, v, w, grid_zyx, ker[0])
+                )(feats, coords, valid)
+            else:  # shared per-stage rulebook (see sp.subm_rulebook)
+                out = jax.vmap(
+                    lambda f, c, v, ni: sp.submanifold_conv3d(
+                        f, c, v, w, grid_zyx, ker[0], nidx=ni)
+                )(feats, coords, valid, nidx)
             ncoords, nvalid, ngrid = coords, valid, grid_zyx
         else:
             out, ncoords, nvalid, _ = jax.vmap(
@@ -93,17 +101,18 @@ class SparseResBlock(nn.Module):
     use_bias: bool = True
 
     @nn.compact
-    def __call__(self, feats, coords, valid, grid_zyx, train: bool):
+    def __call__(self, feats, coords, valid, grid_zyx, train: bool,
+                 nidx=None):
         identity = feats
         if identity.shape[-1] != self.channels:  # 1x1 projection shortcut
             identity = nn.Dense(self.channels, use_bias=False, name="proj")(identity)
         x, *_ = SparseConvBlock(self.channels, use_bias=self.use_bias,
                                 name="conv1")(
-            feats, coords, valid, grid_zyx, train
+            feats, coords, valid, grid_zyx, train, nidx=nidx
         )
         x, *_ = SparseConvBlock(self.channels, use_bias=self.use_bias,
                                 relu=False, name="conv2")(
-            x, coords, valid, grid_zyx, train
+            x, coords, valid, grid_zyx, train, nidx=nidx
         )
         out = nn.relu(x + identity) * valid[..., None].astype(x.dtype)
         return out, coords, valid, grid_zyx
@@ -144,14 +153,24 @@ class VoxelBackBone8x(nn.Module):
         chans = self.model_cfg.get("CHANNELS", list(self._default_channels))
         out_ch = int(self.model_cfg.get("OUT_CHANNELS", 128))
 
+        # one shared rulebook per coordinate set: every subm conv in a
+        # stage body probes the same neighbor table, so the (dominant)
+        # dense-table lookup runs once per stage, not once per conv
+        # (sp.subm_rulebook; v1 oracle engine ignores it)
+        def stage_rulebook(c, v_, g):
+            if sp._engine() == "v1":
+                return None
+            return jax.vmap(lambda ci, vi: sp.subm_rulebook(ci, vi, g))(c, v_)
+
         multi = {}
+        rb = stage_rulebook(coords, valid, grid)
         x, coords, valid, grid = SparseConvBlock(chans[0], name="subm0_0")(
-            x, coords, valid, grid, train
+            x, coords, valid, grid, train, nidx=rb
         )  # conv_input
         for i in range(self._stage1_depth):  # conv1
             x, coords, valid, grid = self._stage_block(
                 chans[0], f"subm0_{i + 1}"
-            )(x, coords, valid, grid, train)
+            )(x, coords, valid, grid, train, nidx=rb)
         multi["x_conv1"] = (x, coords, valid, grid)
         for blk in range(1, 4):
             # conv4's strided conv pads (0,1,1) — z shrinks by the full
@@ -161,10 +180,11 @@ class VoxelBackBone8x(nn.Module):
                 chans[blk], stride=(2, 2, 2), out_cap=int(caps[blk]),
                 pad=pad, name=f"down{blk}",
             )(x, coords, valid, grid, train)
+            rb = stage_rulebook(coords, valid, grid)
             for i in range(2):
                 x, coords, valid, grid = self._stage_block(
                     chans[blk], f"subm{blk}_{i}"
-                )(x, coords, valid, grid, train)
+                )(x, coords, valid, grid, train, nidx=rb)
             multi[f"x_conv{blk + 1}"] = (x, coords, valid, grid)
 
         # conv_out: (3,1,1) kernel, (2,1,1) stride, pad 0 — z-compression to
@@ -536,12 +556,20 @@ class UNetV2(nn.Module):
         )
         chans = self.model_cfg.get("CHANNELS", [16, 32, 64, 64])
 
+        # one shared rulebook per stage coordinate set — reused by the
+        # encoder subm convs AND the decoder blocks at the same sites
+        def stage_rulebook(c, v_, g):
+            if sp._engine() == "v1":
+                return None
+            return jax.vmap(lambda ci, vi: sp.subm_rulebook(ci, vi, g))(c, v_)
+
         # --- encoder ---
+        rb = stage_rulebook(coords, valid, grid)
         x, *_ = SparseConvBlock(chans[0], name="conv_input")(
-            x, coords, valid, grid, train)
+            x, coords, valid, grid, train, nidx=rb)
         x, *_ = SparseConvBlock(chans[0], name="conv1")(
-            x, coords, valid, grid, train)
-        stages = [(x, coords, valid, grid)]
+            x, coords, valid, grid, train, nidx=rb)
+        stages = [(x, coords, valid, grid, rb)]
         for blk in range(1, 4):
             # conv4's strided conv pads (0,1,1) like the encoder backbone
             # (spconv_unet.py:90-94) — z genuinely shrinks
@@ -549,10 +577,12 @@ class UNetV2(nn.Module):
             x, coords, valid, grid = SparseConvBlock(
                 chans[blk], stride=(2, 2, 2), out_cap=int(caps[blk]),
                 pad=pad, name=f"down{blk}")(x, coords, valid, grid, train)
+            rb = stage_rulebook(coords, valid, grid)
             for i in range(2):
                 x, coords, valid, grid = SparseConvBlock(
-                    chans[blk], name=f"subm{blk}_{i}")(x, coords, valid, grid, train)
-            stages.append((x, coords, valid, grid))
+                    chans[blk], name=f"subm{blk}_{i}")(
+                    x, coords, valid, grid, train, nidx=rb)
+            stages.append((x, coords, valid, grid, rb))
 
         if self.model_cfg.get("RETURN_ENCODED_TENSOR", True):
             # (3,1,1) kernel, (2,1,1) stride, pad last_pad (spconv_unet.py:
@@ -570,20 +600,21 @@ class UNetV2(nn.Module):
 
         # --- decoder (UR blocks, spconv_unet.py:141-149) ---
         def ur_block(lateral, bottom, stage_idx, out_ch, name, inverse=True):
-            lx, lc, lv, lg = stages[stage_idx]
+            lx, lc, lv, lg, lrb = stages[stage_idx]
             x_trans, *_ = SparseResBlock(lateral.shape[-1], use_bias=False,
                                          name=f"{name}_t")(
-                lateral, lc, lv, lg, train)
+                lateral, lc, lv, lg, train, nidx=lrb)
             cat = jnp.concatenate([bottom, x_trans], axis=-1)
             x_m, *_ = SparseConvBlock(out_ch if not inverse else lateral.shape[-1],
-                                      name=f"{name}_m")(cat, lc, lv, lg, train)
+                                      name=f"{name}_m")(cat, lc, lv, lg, train,
+                                                        nidx=lrb)
             x_red = channel_reduction(cat, x_m.shape[-1])
             merged = x_m + x_red
             if not inverse:
                 out, *_ = SparseConvBlock(out_ch, name=f"{name}_post")(
-                    merged, lc, lv, lg, train)
+                    merged, lc, lv, lg, train, nidx=lrb)
                 return out
-            hx, hc, hv, hg = stages[stage_idx - 1]
+            hx, hc, hv, hg, _ = stages[stage_idx - 1]
             # invert the down conv's rulebook: down3 z-pads 0 (conv4 stage)
             inv_pad = (0, 1, 1) if stage_idx == 3 else 1
             return InverseConvBlock(out_ch, pad=inv_pad, name=f"{name}_inv")(
@@ -595,7 +626,7 @@ class UNetV2(nn.Module):
         x_up3 = ur_block(x2, x_up4, 2, chans[1], "up3")       # -> stage-1 sites
         x1 = stages[1][0]
         x_up2 = ur_block(x1, x_up3, 1, chans[0], "up2")       # -> stage-0 sites
-        x0, c0, v0, g0 = stages[0]
+        x0, c0, v0, g0, _ = stages[0]
         x_up1 = ur_block(x0, x_up2, 0, chans[0], "up1", inverse=False)
 
         vx, vy, vz = self.voxel_size

@@ -129,17 +129,71 @@ def _im2col_matmul(features, valid, nidx, weights, out_dtype):
 
     Gathers all taps in one shot to (V, K3*Cin) and multiplies by the
     (K3*Cin, Cout) reshaped kernel — K3x fewer, K3x wider MXU calls than
-    the per-tap loop, and one gather instead of K3."""
+    the per-tap loop, and one gather instead of K3.  The gather indexes
+    with the TRANSPOSED (Q, K3) row table so the patches land directly in
+    (Q, K3, Cin) layout — no (K3, Q, Cin) -> (Q, K3, Cin) activation
+    transpose in the graph."""
     v, cin = features.shape
     k3, q = nidx.shape  # q = query-site count (= v for subm, out_cap strided)
     cout = weights.shape[-1]
     feats_pad = jnp.concatenate(
         [features * valid[:, None].astype(features.dtype),
          jnp.zeros((1, cin), features.dtype)], axis=0)
-    gathered = feats_pad[jnp.where(nidx >= 0, nidx, v)]  # (K3, Q, Cin)
-    patches = gathered.transpose(1, 0, 2).reshape(q, k3 * cin)
+    if os.environ.get("COM_TPU_SPARSE_GATHER", "qk3") == "qk3":
+        rows = jnp.where(nidx >= 0, nidx, v).T  # (Q, K3)
+        patches = feats_pad[rows].reshape(q, k3 * cin)
+    else:  # k3q: gather in (K3, Q, Cin) then transpose
+        gathered = feats_pad[jnp.where(nidx >= 0, nidx, v)]
+        patches = gathered.transpose(1, 0, 2).reshape(q, k3 * cin)
     return jnp.dot(patches, weights.reshape(k3 * cin, cout),
                    preferred_element_type=out_dtype)
+
+
+def subm_rulebook(coords, valid, grid_zyx, kernel: int = 3):
+    """(K3, V) neighbor-row indices for a submanifold conv at these sites.
+
+    The expensive half of a v2 subm conv (the dense-table probe measured
+    67 ms of the 74 ms stage-1 lookup; tools/perf/microbench_sparse_lookup
+    .py).  Two cost cuts vs the naive 27-tap probe:
+
+    * **Tap inversion** (COM_TPU_SPARSE_TAPINV=1, default): submanifold
+      queries and sites are the same set, so the neighbor relation is
+      antisymmetric — nidx[-d][j] = i  iff  nidx[d][i] = j (both sites
+      valid + in-grid by construction).  Probe only the first
+      ceil(K3/2) taps (center included) and recover the mirror taps with
+      (K3//2) cheap 1D scatters: ~2x fewer random table reads.
+    * Callers that run several subm convs over the SAME coordinate set
+      (every backbone stage body) compute this once and pass it to each
+      conv — XLA's CSE is not relied on across vmap/module boundaries.
+    """
+    nz, ny, nx = (int(g) for g in grid_zyx)
+    offs_np = _offsets(kernel)
+    k3 = offs_np.shape[0]
+    v = coords.shape[0]
+    tapinv = os.environ.get("COM_TPU_SPARSE_TAPINV", "1") != "0"
+    h = k3 // 2 + 1 if tapinv else k3  # probed taps (center = row k3//2)
+    offs = jnp.asarray(offs_np[:h], jnp.int32)
+    nc = coords[None, :, :] + offs[:, None, :]  # (h, V, 3)
+    inb = (
+        (nc[..., 0] >= 0) & (nc[..., 0] < nz)
+        & (nc[..., 1] >= 0) & (nc[..., 1] < ny)
+        & (nc[..., 2] >= 0) & (nc[..., 2] < nx)
+        & valid[None, :]
+    )
+    nidx = _batched_lookup(coords, valid, grid_zyx, nc, inb)  # (h, V)
+    if not tapinv:
+        return nidx
+    # mirror taps k in [h, K3): offset[k] = -offset[K3-1-k], so
+    # nidx[k][j] = i  iff  nidx[K3-1-k][i] = j — a scatter inversion.
+    # Keys are unique per valid site, so writes never collide; rows with
+    # no preimage keep -1; invalid probes (-1) route to the drop slot v.
+    src = nidx[: h - 1]  # taps 0 .. K3//2-1
+    rows = jnp.where(src >= 0, src, v)
+    inv = jnp.full((h - 1, v + 1), -1, jnp.int32)
+    inv = inv.at[jnp.arange(h - 1)[:, None], rows].set(
+        jnp.broadcast_to(jnp.arange(v, dtype=jnp.int32), (h - 1, v)))
+    # row j of inv[t] answers tap K3-1-t; assemble rows h..K3-1 in order
+    return jnp.concatenate([nidx, inv[::-1, :v]], axis=0)
 
 
 def submanifold_conv3d(
@@ -149,11 +203,12 @@ def submanifold_conv3d(
     weights,  # (K^3, Cin, Cout)
     grid_zyx,  # static (nz, ny, nx)
     kernel: int = 3,
+    nidx=None,  # optional precomputed subm_rulebook (v2 engine only)
 ):
     """SubMConv3d: output at input sites only (spconv SubMConv3d semantics)."""
     if _engine() != "v1":
         return _submanifold_conv3d_v2(features, coords, valid, weights,
-                                      grid_zyx, kernel)
+                                      grid_zyx, kernel, nidx=nidx)
     v = features.shape[0]
     cout = weights.shape[-1]
     sorted_keys, order = build_hash(coords, valid, grid_zyx)
@@ -180,21 +235,88 @@ def submanifold_conv3d(
     return out * valid[:, None].astype(out.dtype)
 
 
+def _subm_patches(features, valid, nidx):
+    """Masked im2col patches (Q, K3*Cin) for a submanifold rulebook."""
+    v, cin = features.shape
+    k3, q = nidx.shape
+    feats_pad = jnp.concatenate(
+        [features * valid[:, None].astype(features.dtype),
+         jnp.zeros((1, cin), features.dtype)], axis=0)
+    rows = jnp.where(nidx >= 0, nidx, v).T  # (Q, K3)
+    return feats_pad[rows].reshape(q, k3 * cin)
+
+
+@jax.custom_vjp
+def _subm_im2col_mirror(features, valid, nidx, weights):
+    """im2col + wide GEMM for SUBMANIFOLD rulebooks with a gather-only
+    backward pass.
+
+    XLA's autodiff transpose of the patch gather is a scatter-add of
+    (K3*V, Cin) rows — measured pathologically slow on TPU (the 13-row
+    tap-inversion scatter alone costs ~20 ms at stage-1 scale).  For a
+    submanifold rulebook the transpose IS another rulebook gather:
+    nidx[t, q] = j  iff  nidx[K3-1-t, j] = q (sites == queries, symmetric
+    cubic kernel), so
+
+        dfeats[j] = sum_t dpatches[nidx[K3-1-t, j], t]
+
+    — one flat gather of (K3, V) rows from the (Q*K3, Cin) dpatches
+    array, no scatter anywhere.  dW recomputes the patches (cheap gather)
+    instead of saving the 100+ MB patch matrix as a residual."""
+    return jnp.dot(_subm_patches(features, valid, nidx),
+                   weights.reshape(-1, weights.shape[-1]),
+                   preferred_element_type=features.dtype)
+
+
+def _subm_im2col_mirror_fwd(features, valid, nidx, weights):
+    return _subm_im2col_mirror(features, valid, nidx, weights), (
+        features, valid, nidx, weights)
+
+
+def _subm_im2col_mirror_bwd(res, dy):
+    features, valid, nidx, weights = res
+    v, cin = features.shape
+    k3, q = nidx.shape
+    cout = weights.shape[-1]
+    w2 = weights.reshape(k3 * cin, cout)
+    # dW via recomputed patches: (K3*Cin, Q) @ (Q, Cout)
+    patches = _subm_patches(features, valid, nidx)
+    dw = jnp.dot(patches.T, dy.astype(patches.dtype),
+                 preferred_element_type=weights.dtype).reshape(weights.shape)
+    # dfeatures via the mirrored rulebook — gather, not scatter
+    dpat = jnp.dot(dy.astype(w2.dtype), w2.T,
+                   preferred_element_type=features.dtype)  # (Q, K3*Cin)
+    dpat3 = jnp.concatenate(
+        [dpat.reshape(q * k3, cin),
+         jnp.zeros((1, cin), dpat.dtype)], axis=0)  # drop row at q*k3
+    mirror = nidx[::-1]  # row t answers tap K3-1-t
+    flat = jnp.where(mirror >= 0,
+                     mirror * k3 + jnp.arange(k3, dtype=nidx.dtype)[:, None],
+                     q * k3)  # (K3, V) into dpat3
+    dfeats = dpat3[flat].sum(axis=0)  # (V, Cin)
+    dfeats = dfeats * valid[:, None].astype(dfeats.dtype)
+    f0 = np.zeros(valid.shape, jax.dtypes.float0)
+    i0 = np.zeros(nidx.shape, jax.dtypes.float0)
+    return dfeats.astype(features.dtype), f0, i0, dw
+
+
+_subm_im2col_mirror.defvjp(_subm_im2col_mirror_fwd, _subm_im2col_mirror_bwd)
+
+
 def _submanifold_conv3d_v2(features, coords, valid, weights, grid_zyx,
-                           kernel=3):
+                           kernel=3, nidx=None):
     """v2 SubMConv3d: batched lookup + im2col wide GEMM (same math as v1,
-    verified bit-level in tests/test_sparse_conv.py::test_engine_v1_v2)."""
-    nz, ny, nx = (int(g) for g in grid_zyx)
-    offs = jnp.asarray(_offsets(kernel), jnp.int32)  # (K3, 3)
-    nc = coords[None, :, :] + offs[:, None, :]  # (K3, V, 3)
-    inb = (
-        (nc[..., 0] >= 0) & (nc[..., 0] < nz)
-        & (nc[..., 1] >= 0) & (nc[..., 1] < ny)
-        & (nc[..., 2] >= 0) & (nc[..., 2] < nx)
-        & valid[None, :]
-    )
-    nidx = _batched_lookup(coords, valid, grid_zyx, nc, inb)
-    out = _im2col_matmul(features, valid, nidx, weights, features.dtype)
+    verified bit-level in tests/test_sparse_engine_ab.py).
+
+    COM_TPU_SPARSE_BWD=mirror (default) routes the GEMM through the
+    gather-only custom VJP above; =auto uses XLA's autodiff (scatter-add
+    transpose), kept as the gradient oracle."""
+    if nidx is None:
+        nidx = subm_rulebook(coords, valid, grid_zyx, kernel)
+    if os.environ.get("COM_TPU_SPARSE_BWD", "mirror") == "mirror":
+        out = _subm_im2col_mirror(features, valid, nidx, weights)
+    else:
+        out = _im2col_matmul(features, valid, nidx, weights, features.dtype)
     return out * valid[:, None].astype(out.dtype)
 
 
@@ -311,27 +433,85 @@ def strided_conv3d(
     return out * out_valid[:, None].astype(out.dtype), out_coords, out_valid, dgrid
 
 
+def _strided_rulebook_outprobe(coords, valid, out_coords, out_valid, dgrid,
+                               stride, ker, pd):
+    """(K3, O) strided rulebook built from the INPUT side.
+
+    The naive direction probes the input table with K3 taps per output —
+    at stage 1 that is 27 x O random reads into a 371 MB table (the
+    measured 67 ms dominator).  Flipped: each INPUT voxel is covered by at
+    most prod(ceil(k/s)) (= 8 for k=3,s=2) candidate outputs, so probe the
+    OUTPUT table (a grid_zyx/prod(s) ~ 8x smaller buffer) with ~8 x V
+    queries, derive each hit's tap index t = i - s*o + p, and scatter
+    nidx[t, j] = i.  (i, o) pairs are unique per (t, j), so writes never
+    collide; outputs dropped by the out_cap overflow simply receive no
+    writes (identical to the in-probe semantics where their rows don't
+    exist)."""
+    v = coords.shape[0]
+    o_cap = out_coords.shape[0]
+    k3 = ker[0] * ker[1] * ker[2]
+    ncand = [((ker[a] - 1) // stride[a]) + 1 for a in range(3)]
+    o_hi = [(coords[:, a] + pd[a]) // stride[a] for a in range(3)]
+    o_lo = [-((-(coords[:, a] + pd[a] - ker[a] + 1)) // stride[a])
+            for a in range(3)]
+    cands, oks = [], []
+    for cz in range(ncand[0]):
+        for cy in range(ncand[1]):
+            for cx in range(ncand[2]):
+                o = jnp.stack(
+                    [o_hi[0] - cz, o_hi[1] - cy, o_hi[2] - cx], axis=1)
+                ok = valid
+                for a, c in zip(range(3), (cz, cy, cx)):
+                    ok = ok & (o[:, a] >= o_lo[a]) & (o[:, a] >= 0) \
+                        & (o[:, a] < dgrid[a])
+                cands.append(o)
+                oks.append(ok)
+    q_o = jnp.stack(cands)  # (C, V, 3)
+    q_ok = jnp.stack(oks)  # (C, V)
+    j = _batched_lookup(out_coords, out_valid, dgrid, q_o, q_ok)  # (C, V)
+    s = jnp.asarray(stride, jnp.int32)
+    t_off = coords[None, :, :] - q_o * s[None, None, :] \
+        + jnp.asarray(pd, jnp.int32)[None, None, :]  # (C, V, 3) in [0, k)
+    t = (t_off[..., 0] * ker[1] + t_off[..., 1]) * ker[2] + t_off[..., 2]
+    hit = q_ok & (j >= 0)
+    jj = jnp.where(hit, j, o_cap).reshape(-1)  # o_cap = drop column
+    tt = jnp.where(hit, t, 0).reshape(-1)
+    src = jnp.broadcast_to(
+        jnp.arange(v, dtype=jnp.int32), q_ok.shape).reshape(-1)
+    nidx = jnp.full((k3, o_cap + 1), -1, jnp.int32)
+    nidx = nidx.at[tt, jj].set(src)
+    return nidx[:, :o_cap]
+
+
 def _strided_conv3d_v2(features, coords, valid, weights, grid_zyx, out_cap,
                        stride=(2, 2, 2), kernel=3, pad=1):
-    """v2 SparseConv3d: batched footprint lookup + im2col wide GEMM."""
+    """v2 SparseConv3d: batched footprint rulebook + im2col wide GEMM.
+
+    COM_TPU_SPARSE_STRIDED=outprobe (default) builds the rulebook from the
+    input side (_strided_rulebook_outprobe); =inprobe restores the
+    output-side K3-tap probe of the input table."""
     out_coords, out_valid, dgrid = downsample_sites(
         coords, valid, stride, out_cap, grid_zyx, kernel=kernel, pad=pad)
     ker = (kernel,) * 3 if np.isscalar(kernel) else tuple(int(k) for k in kernel)
     pd = (pad,) * 3 if np.isscalar(pad) else tuple(int(p) for p in pad)
-    offs = np.stack(
-        np.meshgrid(*[np.arange(k) - p for k, p in zip(ker, pd)],
-                    indexing="ij"), axis=-1).reshape(-1, 3)
-    nz, ny, nx = (int(g) for g in grid_zyx)
-    s = jnp.asarray(stride, jnp.int32)
-    in_coords = (out_coords[None, :, :] * s[None, None, :]
-                 + jnp.asarray(offs, jnp.int32)[:, None, :])  # (K3, O, 3)
-    inb = (
-        (in_coords[..., 0] >= 0) & (in_coords[..., 0] < nz)
-        & (in_coords[..., 1] >= 0) & (in_coords[..., 1] < ny)
-        & (in_coords[..., 2] >= 0) & (in_coords[..., 2] < nx)
-        & out_valid[None, :]
-    )
-    nidx = _batched_lookup(coords, valid, grid_zyx, in_coords, inb)
+    if os.environ.get("COM_TPU_SPARSE_STRIDED", "outprobe") != "inprobe":
+        nidx = _strided_rulebook_outprobe(coords, valid, out_coords,
+                                          out_valid, dgrid, stride, ker, pd)
+    else:
+        offs = np.stack(
+            np.meshgrid(*[np.arange(k) - p for k, p in zip(ker, pd)],
+                        indexing="ij"), axis=-1).reshape(-1, 3)
+        nz, ny, nx = (int(g) for g in grid_zyx)
+        s = jnp.asarray(stride, jnp.int32)
+        in_coords = (out_coords[None, :, :] * s[None, None, :]
+                     + jnp.asarray(offs, jnp.int32)[:, None, :])  # (K3, O, 3)
+        inb = (
+            (in_coords[..., 0] >= 0) & (in_coords[..., 0] < nz)
+            & (in_coords[..., 1] >= 0) & (in_coords[..., 1] < ny)
+            & (in_coords[..., 2] >= 0) & (in_coords[..., 2] < nx)
+            & out_valid[None, :]
+        )
+        nidx = _batched_lookup(coords, valid, grid_zyx, in_coords, inb)
     out = _im2col_matmul(features, valid, nidx, weights, features.dtype)
     return (out * out_valid[:, None].astype(out.dtype),
             out_coords, out_valid, dgrid)

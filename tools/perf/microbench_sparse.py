@@ -91,7 +91,12 @@ def main():
         def loss(p, ff):
             return jnp.sum(fwd(ff, c, p).astype(jnp.float32) ** 2) * 1e-6
         l, g = jax.value_and_grad(loss)(params, f)
-        return l, jax.tree_util.tree_leaves(g)[0]
+        # reduce EVERY grad leaf into the output: returning only one leaf
+        # lets XLA dead-code-eliminate most of the backward pass (the
+        # round-5 "fwd == fwd+bwd" readings measured exactly that)
+        gsum = sum(jnp.sum(jnp.abs(x.astype(jnp.float32)))
+                   for x in jax.tree_util.tree_leaves(g))
+        return l, gsum
 
     results = {}
     for spec in args.configs.split(","):
